@@ -1,0 +1,117 @@
+"""3D encoder-decoder neck over the fused voxel volume (NDHWC).
+
+Equivalent of the reference's ``FastIndoorImVoxelNeck``
+(`mmdet3d/models/necks/imvoxelnet.py:9-67`, blocks `:233-260`): a
+3-scale residual 3D conv encoder with transpose-conv top-down path and a
+per-scale output block. BatchNorm here is *trainable* (train-mode batch
+stats), matching the reference; stats live in the ``batch_stats``
+collection and are updated when ``train=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicBlock3dV2(nn.Module):
+    """Residual 3D block (reference `imvoxelnet.py:233-260`)."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (self.stride,) * 3
+        identity = x
+        y = nn.Conv(self.out_channels, (3, 3, 3), strides=s,
+                    padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        if self.stride != 1:
+            identity = nn.Conv(self.out_channels, (1, 1, 1), strides=s,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype,
+                                    name="downsample_norm")(identity)
+        return nn.relu(y + identity)
+
+
+class _OutBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.relu(x)
+
+
+class _UpBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.out_channels, (2, 2, 2),
+                             strides=(2, 2, 2), use_bias=False,
+                             dtype=self.dtype, name="up_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="up_norm")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.relu(x)
+
+
+class FastIndoorImVoxelNeck(nn.Module):
+    """3-scale 3D encoder-decoder; returns finest-first feature list."""
+
+    in_channels: int = 256
+    out_channels: int = 128
+    n_blocks: Sequence[int] = (1, 1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        n_scales = len(self.n_blocks)
+        down_outs = []
+        n_ch = self.in_channels
+        for i in range(n_scales):
+            stride = 1 if i == 0 else 2
+            for b in range(self.n_blocks[i]):
+                if b == 0 and stride != 1:
+                    n_ch = n_ch * 2
+                    x = BasicBlock3dV2(n_ch, stride, self.dtype,
+                                       name=f"down_{i}_{b}")(x, train)
+                else:
+                    x = BasicBlock3dV2(n_ch, 1, self.dtype,
+                                       name=f"down_{i}_{b}")(x, train)
+            down_outs.append(x)
+
+        outs = []
+        for i in range(n_scales - 1, -1, -1):
+            if i < n_scales - 1:
+                x = _UpBlock(x.shape[-1] // 2, self.dtype,
+                             name=f"up_{i + 1}")(x, train)
+                x = down_outs[i] + x
+            out = _OutBlock(self.out_channels, self.dtype,
+                            name=f"out_{i}")(x, train)
+            outs.append(out)
+        return tuple(outs[::-1])

@@ -1,0 +1,93 @@
+"""Bilinear/trilinear grid sampling (pure JAX; torch `F.grid_sample` parity).
+
+Used by the ray renderer: RGB/feature sampling along rays
+(`mmdet3d/models/model_utils/projection.py:120-128`, align_corners=True,
+zeros padding) and the volume-mode feature lookup
+(`render_ray.py:26-46`, align_corners=True, border padding).
+
+Coordinates are *unnormalized pixel coordinates* here — callers convert
+from torch's [-1, 1] convention if needed; with align_corners=True the
+mapping is ``px = (g + 1) / 2 * (size - 1)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_2d(image, px, py, padding: str = "zeros"):
+    """Sample (H, W, C) at float pixel coords (...,) -> (..., C).
+
+    Args:
+        image: (H, W, C).
+        px, py: float pixel coordinates, same shape.
+        padding: "zeros" (out-of-bounds contributes 0, torch default) or
+            "border" (clamp).
+    """
+    h, w, _ = image.shape
+    if padding == "border":
+        px = jnp.clip(px, 0.0, w - 1.0)
+        py = jnp.clip(py, 0.0, h - 1.0)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    wx1 = px - x0
+    wy1 = py - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(xi, yi, wgt):
+        if padding == "zeros":
+            inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            wgt = wgt * inb.astype(wgt.dtype)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        vals = image.reshape(h * w, -1)[(yc * w + xc).reshape(-1)]
+        return vals.reshape(wgt.shape + (image.shape[-1],)) * wgt[..., None]
+
+    out = (
+        tap(x0, y0, wx0 * wy0)
+        + tap(x1, y0, wx1 * wy0)
+        + tap(x0, y1, wx0 * wy1)
+        + tap(x1, y1, wx1 * wy1)
+    )
+    return out
+
+
+def grid_sample_3d(volume, px, py, pz, padding: str = "border"):
+    """Sample (D, H, W, C) at float voxel coords -> (..., C).
+
+    Coordinate convention matches torch's 5D grid_sample: the grid's last
+    axis is ordered (x, y, z) = (W, H, D); here px indexes W, py H, pz D.
+    """
+    d, h, w, _ = volume.shape
+    if padding == "border":
+        px = jnp.clip(px, 0.0, w - 1.0)
+        py = jnp.clip(py, 0.0, h - 1.0)
+        pz = jnp.clip(pz, 0.0, d - 1.0)
+    x0, y0, z0 = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    wx1, wy1, wz1 = px - x0, py - y0, pz - z0
+
+    flat = volume.reshape(d * h * w, -1)
+
+    def tap(xi, yi, zi, wgt):
+        if padding == "zeros":
+            inb = (
+                (xi >= 0) & (xi <= w - 1)
+                & (yi >= 0) & (yi <= h - 1)
+                & (zi >= 0) & (zi <= d - 1)
+            )
+            wgt = wgt * inb.astype(wgt.dtype)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        zc = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+        vals = flat[((zc * h + yc) * w + xc).reshape(-1)]
+        return vals.reshape(wgt.shape + (volume.shape[-1],)) * wgt[..., None]
+
+    out = 0.0
+    for dx, wx in ((0, 1 - wx1), (1, wx1)):
+        for dy, wy in ((0, 1 - wy1), (1, wy1)):
+            for dz, wz in ((0, 1 - wz1), (1, wz1)):
+                out = out + tap(x0 + dx, y0 + dy, z0 + dz, wx * wy * wz)
+    return out

@@ -1,0 +1,16 @@
+"""Test harness: run everything on an 8-device virtual CPU mesh.
+
+The reference's GPU-gated tests skip without CUDA
+(`tests/test_detectors.py:74-77`); here every test runs on CPU, and
+multi-device (data-parallel) behavior is exercised with XLA's host
+device-count override — a capability the reference suite lacks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
