@@ -1,0 +1,86 @@
+"""Benchmark: NeRF-Det-R50 detection inference throughput (scenes/sec/chip).
+
+Methodology mirrors the reference's `tools/benchmark.py:60-90` (warmup
+iterations excluded, steady-state average over timed iterations, data
+loading excluded) on the flagship config geometry: ResNet-50 + FPN over
+V source views at 240x320, voxel back-projection + multi-view fusion +
+nerf-density opacity modulation into a 40x40x16 volume, 3D neck, head,
+and on-device top-k candidate selection — the full `simple_test` device
+path (`mmdet3d/models/detectors/nerfdet.py:338-344`).
+
+Baseline note (see BASELINE.md): the reference publishes NO NeRF-Det
+speed numbers, and its GPU stack (mmcv/mmdet/CUDA) cannot run here. The
+north-star target from BASELINE.json is ">=5x reference-GPU
+scenes/sec/chip"; we nominalize the reference single-V100 inference rate
+at 1.0 scene/sec (the order of magnitude of published V100 rates for
+volumetric indoor RGB detectors of this class), so ``vs_baseline`` is
+scenes/sec divided by 1.0 — and the 5x target reads as vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_VIEWS = 50
+WARMUP = 3
+ITERS = 20
+BASELINE_SCENES_PER_SEC = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.data.synthetic import make_synthetic_scene
+    from nerfdet_tpu.models.builder import build_model
+    from nerfdet_tpu.models.nerfdet import SceneMeta
+    from nerfdet_tpu.nn.heads import get_candidate_bboxes
+
+    cfg = Config.fromfile("configs/nerfdet/nerfdet_res50_2x_low_res.py")
+    meta = SceneMeta(ori_shape=(968, 1296), img_shape=(239, 320),
+                     pad_shape=(240, 320))
+    model = build_model(cfg.model, meta=meta, compute_dtype=jnp.bfloat16)
+
+    scene = make_synthetic_scene(
+        seed=0, n_views=N_VIEWS, n_targets=1, hw=(239, 320),
+        pad_hw=(240, 320), n_rand=64, n_boxes=4, max_gt=8, margin=10)
+    batch = {k: jnp.asarray(scene[k]) for k in
+             ("imgs", "denorm_images", "intrinsic", "extrinsics", "origin")}
+
+    params = model.init(jax.random.PRNGKey(0), batch, train=False,
+                        with_rays=True)
+
+    nms_pre = cfg.test_cfg["nms_pre"]
+
+    def infer(variables, b):
+        head_outs, valid, _ = model.apply(
+            variables, b, train=False, with_rays=True)
+        mlvl = model.mlvl_points(b["origin"])
+        return get_candidate_bboxes(
+            head_outs, valid, mlvl, nms_pre, model.n_classes)
+
+    step = jax.jit(infer)
+    out = step(params, batch)
+    jax.block_until_ready(out)
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(step(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(params, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = ITERS / dt
+    print(json.dumps(dict(
+        metric="nerfdet_r50_lowres_det_scenes_per_sec_per_chip",
+        value=round(scenes_per_sec, 4),
+        unit="scenes/sec",
+        vs_baseline=round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 4),
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""High-level model APIs: init/inference/test-loop.
+
+Equivalent of `mmdet3d/apis/{inference.py,test.py}` plus the host-side
+tail of the head's `_nms` (`imvoxel_head_v2.py:528-545`) and
+`bbox3d2result` (`core/bbox/transforms.py:50-67`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .core.nms import aligned_3d_nms
+
+
+def detections_from_candidates(boxes: np.ndarray, scores: np.ndarray,
+                               score_thr: float = 0.01,
+                               iou_thr: float = 0.25) -> Dict:
+    """Device candidates -> final detections (reference `_nms`).
+
+    Args:
+        boxes: (M, 6) corner-format candidate boxes.
+        scores: (M, n_classes) fused scores (cls * centerness * valid).
+
+    Returns dict(boxes_3d (n, 7) bottom-centered, scores_3d, labels_3d)
+    — numpy, ready for `core.eval.indoor_eval`.
+    """
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    labels = scores.argmax(axis=1)
+    max_scores = scores.max(axis=1)
+    keep = max_scores > score_thr
+    boxes, max_scores, labels = boxes[keep], max_scores[keep], labels[keep]
+    ids = aligned_3d_nms(boxes, max_scores, labels, iou_thr)
+    boxes = boxes[ids]
+    # corners -> (cx, cy, zbottom, dx, dy, dz, yaw=0)
+    out = np.zeros((len(boxes), 7), np.float32)
+    out[:, 0] = (boxes[:, 0] + boxes[:, 3]) / 2.0
+    out[:, 1] = (boxes[:, 1] + boxes[:, 4]) / 2.0
+    out[:, 2] = boxes[:, 2]
+    out[:, 3] = boxes[:, 3] - boxes[:, 0]
+    out[:, 4] = boxes[:, 4] - boxes[:, 1]
+    out[:, 5] = boxes[:, 5] - boxes[:, 2]
+    return dict(
+        boxes_3d=out,
+        scores_3d=max_scores[ids],
+        labels_3d=labels[ids],
+    )
+
+
+def init_detector(config, checkpoint: Optional[str] = None,
+                  compute_dtype=None):
+    """Build (model, variables) from a config file/obj and checkpoint.
+
+    Equivalent of `mmdet3d/apis/inference.py:14-43`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import Config
+    from .models.builder import build_model
+    from .models.nerfdet import SceneMeta
+
+    if isinstance(config, str):
+        config = Config.fromfile(config)
+    meta = scene_meta_from_config(config)
+    model = build_model(config.model, meta=meta,
+                        compute_dtype=compute_dtype or jnp.float32)
+    variables = None
+    if checkpoint is not None:
+        from .utils.checkpoint import load_checkpoint
+
+        variables = load_checkpoint(checkpoint)
+    return model, variables
+
+
+def scene_meta_from_config(config):
+    """Derive SceneMeta from the pipeline's Resize/Pad transforms."""
+    from .models.nerfdet import SceneMeta
+
+    pipeline = config.get("test_pipeline") or []
+    img_scale, pad = (320, 240), (240, 320)
+    for step in pipeline:
+        if step.get("type") == "MultiViewPipeline":
+            for t in step.get("transforms", []):
+                if t["type"] == "Resize":
+                    img_scale = tuple(t["img_scale"])
+                if t["type"] == "Pad":
+                    pad = tuple(t["size"])
+    # ScanNet sensor resolution unless the config overrides (synthetic /
+    # other capture rigs)
+    ori = tuple(config.get("ori_shape", (968, 1296)))
+    scale = min(img_scale[0] / ori[1], img_scale[1] / ori[0])
+    img_shape = (int(ori[0] * scale + 0.5), int(ori[1] * scale + 0.5))
+    return SceneMeta(ori_shape=ori, img_shape=img_shape, pad_shape=pad)
+
+
+def single_scene_test(eval_step, variables, scene: Dict,
+                      score_thr: float = 0.01, iou_thr: float = 0.25
+                      ) -> Dict:
+    """Run the jitted device path + host NMS for one scene."""
+    import jax
+
+    device_keys = ("imgs", "denorm_images", "intrinsic", "extrinsics",
+                   "origin", "depth")
+    batch = {k: scene[k] for k in device_keys if k in scene}
+    out = eval_step(variables["params"], variables.get("batch_stats", {}),
+                    batch)
+    out = jax.device_get(out)
+    return detections_from_candidates(
+        out["boxes"], out["scores"], score_thr, iou_thr)
+
+
+def run_eval(model, variables, dataset, test_cfg: Dict,
+             logger=None, progress: bool = True) -> Dict:
+    """Single-host eval loop (reference `mmdet3d/apis/test.py:5-32` +
+    `dataset.evaluate`)."""
+    from .train.step import make_eval_step
+
+    eval_step = make_eval_step(model, nms_pre=test_cfg.get("nms_pre", 1000))
+    results: List[Dict] = []
+    n = len(dataset)
+    for i in range(n):
+        scene = dataset[i]
+        results.append(single_scene_test(
+            eval_step, variables, scene,
+            score_thr=test_cfg.get("score_thr", 0.01),
+            iou_thr=test_cfg.get("iou_thr", 0.25)))
+        if progress and (i + 1) % 10 == 0:
+            print(f"[eval] {i + 1}/{n}", flush=True)
+    return dataset.evaluate(results, logger=logger)

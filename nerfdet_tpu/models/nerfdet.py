@@ -1,0 +1,316 @@
+"""NeRF-Det: multi-view 3D detector with a joint generalizable NeRF branch.
+
+TPU-native re-implementation of the reference detector
+(`mmdet3d/models/detectors/nerfdet.py:13-447`). One module instance
+processes ONE scene (matching the reference's hard batch=1-per-device,
+`render_ray.py:29-32`); data parallelism shards scenes across the device
+mesh in the train step.
+
+Structural differences from the reference (all semantics-preserving):
+
+* channels-last layouts (NHWC / NDHWC) throughout;
+* the per-view (V, C, nx, ny, nz) volume is never materialized — the
+  mean/variance fusion and the nerf_density global volume both stream
+  over views (`ops/voxel.py:fused_mean_cov`);
+* padded feature maps are kept at TPU-aligned sizes and validity is
+  enforced via bounds instead of cropping;
+* the training ray subset is selected in the data layer (static shapes),
+  replaying the reference's RNG for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.resnet import ResNet
+from ..nn.fpn import FPN
+from ..nn.neck3d import FastIndoorImVoxelNeck
+from ..nn.heads import ScanNetImVoxelHeadV2
+from ..nn.nerf_mlp import VanillaNeRFRadianceField
+from ..ops.voxel import compute_projection, fused_mean_cov, get_points
+from ..ops import render as render_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (compile-time) image geometry for a dataset.
+
+    ``img_shape`` is the post-resize (pre-pad) size the reference keeps in
+    ``img_metas`` and uses for intrinsic rescaling and validity bounds;
+    ``pad_shape`` is the actual tensor size.
+    """
+
+    ori_shape: Tuple[int, int] = (968, 1296)
+    img_shape: Tuple[int, int] = (239, 320)
+    pad_shape: Tuple[int, int] = (240, 320)
+
+
+class NerfDet(nn.Module):
+    """The flagship detector (see module docstring)."""
+
+    # model topology (mirrors configs/nerfdet/*.py `model` dict)
+    backbone_depth: int = 50
+    fpn_in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    fpn_out_channels: int = 256
+    neck3d_out_channels: int = 128
+    neck3d_n_blocks: Sequence[int] = (1, 1, 1)
+    n_classes: int = 18
+    head_n_reg_outs: int = 6
+    n_scales: int = 3
+    head_limit: int = 27
+    head_centerness_topk: int = 18
+    # volume / nerf parameters
+    n_voxels: Tuple[int, int, int] = (40, 40, 16)
+    voxel_size: Tuple[float, float, float] = (0.16, 0.16, 0.2)
+    aabb: Any = ((-2.7, -2.7, -0.78), (3.7, 3.7, 1.78))
+    near_far_range: Tuple[float, float] = (0.2, 8.0)
+    n_samples: int = 64
+    n_rand: int = 2048
+    nerf_mode: str = "image"
+    squeeze_scale: int = 4
+    nerf_density: bool = True
+    meta: SceneMeta = SceneMeta()
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def nerf_feature_dim(self) -> int:
+        return self.fpn_out_channels // self.squeeze_scale
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.backbone_depth, dtype=self.compute_dtype)
+        self.neck = FPN(
+            in_channels=self.fpn_in_channels,
+            out_channels=self.fpn_out_channels,
+            num_outs=len(self.fpn_in_channels),
+            dtype=self.compute_dtype,
+        )
+        self.neck_3d = FastIndoorImVoxelNeck(
+            in_channels=self.fpn_out_channels,
+            out_channels=self.neck3d_out_channels,
+            n_blocks=self.neck3d_n_blocks,
+            dtype=self.compute_dtype,
+        )
+        self.bbox_head = ScanNetImVoxelHeadV2(
+            n_classes=self.n_classes,
+            n_channels=self.neck3d_out_channels,
+            n_reg_outs=self.head_n_reg_outs,
+            n_scales=self.n_scales,
+            dtype=self.compute_dtype,
+        )
+        # reference `nerfdet.py:62-69`: feature dim = C/squeeze + 6 (rgb
+        # mean+var contribute 3+3)
+        self.nerf_mlp = VanillaNeRFRadianceField(
+            net_depth=4,
+            net_width=256,
+            skip_layer=3,
+            feature_dim=self.nerf_feature_dim + 6,
+            net_depth_condition=1,
+            net_width_condition=128,
+            dtype=self.compute_dtype,
+        )
+        # reference `nerfdet.py:91-111`
+        half = self.nerf_feature_dim // 2
+        self.mean_mapping = nn.Conv(half, (1, 1, 1), dtype=self.compute_dtype)
+        self.cov_mapping = nn.Conv(half, (1, 1, 1), dtype=self.compute_dtype)
+        self.mapping = nn.Dense(half, dtype=self.compute_dtype)
+
+    # ------------------------------------------------------------------
+    # feature extraction
+    # ------------------------------------------------------------------
+
+    def extract_2d(self, imgs):
+        """(V, Hp, Wp, 3) normalized images -> (V, Hp/4, Wp/4, C) features."""
+        feats = self.backbone(imgs)
+        return self.neck(feats)[0]
+
+    def build_volume(self, features, imgs_denorm, intrinsic, extrinsics,
+                     origin, depth=None, use_nerf: bool = True):
+        """Back-project, fuse, (optionally) density-modulate the volume.
+
+        Mirrors `nerfdet.py:149-261` for one scene.
+
+        Returns dict with:
+            det_volume (nx, ny, nz, C) — input to the 3D neck,
+            valid (nx, ny, nz) — observed-view count,
+            mean/cov (nx, ny, nz, C) — fused statistics,
+            points (nx, ny, nz, 3).
+        """
+        h_img, w_img = self.meta.img_shape
+        stride = self.meta.pad_shape[1] // features.shape[2]
+        ratio = self.meta.ori_shape[0] / (h_img / stride)
+        projection = compute_projection(intrinsic, extrinsics, ratio)
+        points = get_points(self.n_voxels, self.voxel_size, origin)
+        pts_flat = points.reshape(-1, 3)
+        feat_hw = (h_img // stride, w_img // stride)
+
+        vsz = self.voxel_size[-1]
+        mean, cov, count = fused_mean_cov(
+            features, pts_flat, projection,
+            depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
+        )
+
+        det_volume = mean
+        if use_nerf and self.nerf_density:
+            # global volume: rgb backprojection + mapped features, fused
+            # with invalid views contributing the mapping bias
+            # (`nerfdet.py:232-261`)
+            mapped = self.mapping(features)  # (V, h, w, half)
+            bias_fill = self.mapping(jnp.zeros((features.shape[-1],),
+                                               self.compute_dtype))
+            fill = jnp.concatenate(
+                [jnp.zeros((3,), jnp.float32),
+                 bias_fill.astype(jnp.float32)]
+            )
+            rgb_projection = compute_projection(
+                intrinsic, extrinsics, self.meta.ori_shape[0] / h_img)
+            g_mean, g_cov, _ = fused_mean_cov(
+                mapped, pts_flat, projection,
+                depth=depth, voxel_size_z=vsz,
+                invalid_fill=fill,
+                extra_features=imgs_denorm,
+                extra_projection=rgb_projection,
+                image_hw=feat_hw,
+                extra_image_hw=(h_img, w_img),
+            )
+            global_volume = jnp.concatenate([g_mean, g_cov], axis=-1)
+            density = self.nerf_mlp.query_density(
+                pts_flat.astype(self.compute_dtype),
+                global_volume.astype(self.compute_dtype),
+            )
+            alpha = 1.0 - jnp.exp(-density)  # (N, 1)
+            det_volume = alpha * mean
+
+        observed = count[:, None] > 0
+        det_volume = jnp.where(observed, det_volume, 0.0)
+
+        nx, ny, nz = self.n_voxels
+        return dict(
+            det_volume=det_volume.reshape(nx, ny, nz, -1),
+            valid=count.reshape(nx, ny, nz),
+            mean=mean.reshape(nx, ny, nz, -1),
+            cov=cov.reshape(nx, ny, nz, -1),
+            points=points,
+        )
+
+    def detect(self, det_volume, train: bool = False):
+        """3D neck + head over the fused volume (adds/removes batch dim)."""
+        x = det_volume[None]  # (1, nx, ny, nz, C)
+        scales = self.neck_3d(x, train=train)
+        outs = self.bbox_head(scales)
+        return [(c[0], b[0], s[0]) for (c, b, s) in outs]
+
+    # ------------------------------------------------------------------
+    # nerf rendering branch
+    # ------------------------------------------------------------------
+
+    def render(self, ray_o, ray_d, features, imgs_denorm, intrinsic,
+               extrinsics, volume_stats=None, det: bool = True,
+               rng=None):
+        """Render a chunk of rays (reference `render_ray.py:250-369`).
+
+        ``features`` are the stride-4 FPN maps; in image mode they are
+        squeezed through ``self.mapping`` (`nerfdet.py:190-197`).
+        """
+        h_img, w_img = self.meta.img_shape
+        # 4x4 intrinsics scaled to img_shape (`render_ray.py:48-69`)
+        ratio = self.meta.ori_shape[0] / h_img
+        intr = jnp.asarray(intrinsic, jnp.float32)
+        intr4 = jnp.eye(4, dtype=jnp.float32)
+        intr4 = intr4.at[:intr.shape[0], :intr.shape[1]].set(intr)
+        intr4 = intr4.at[:2].divide(ratio)
+        intr_views = jnp.broadcast_to(intr4, (extrinsics.shape[0], 4, 4))
+
+        def mlp_fn(pts, viewdirs, feats):
+            return self.nerf_mlp(
+                pts.astype(self.compute_dtype),
+                condition=viewdirs.astype(self.compute_dtype),
+                features=feats.astype(self.compute_dtype),
+            )
+
+        if self.nerf_mode == "image":
+            featmaps = self.mapping(features)
+            return render_ops.render_rays_chunk(
+                ray_o, ray_d, mlp_fn,
+                mode="image",
+                near_far=tuple(self.near_far_range),
+                n_samples=self.n_samples,
+                images=imgs_denorm,
+                intrinsics=intr_views,
+                poses=extrinsics,
+                img_hw=(h_img, w_img),
+                featmaps=featmaps,
+                det=det,
+                key=rng,
+            )
+        # volume mode (`nerfdet.py:185-188`, `render_ray.py:308-323`)
+        mean_volume = self.mean_mapping(volume_stats["mean"][None])[0]
+        cov_volume = self.cov_mapping(volume_stats["cov"][None])[0]
+        return render_ops.render_rays_chunk(
+            ray_o, ray_d, mlp_fn,
+            mode="volume",
+            near_far=tuple(self.near_far_range),
+            n_samples=self.n_samples,
+            images=imgs_denorm,
+            intrinsics=intr_views,
+            poses=extrinsics,
+            img_hw=(h_img, w_img),
+            mean_volume=mean_volume,
+            cov_volume=cov_volume,
+            aabb=self.aabb,
+            det=det,
+            key=rng,
+        )
+
+    # ------------------------------------------------------------------
+    # top-level entry points
+    # ------------------------------------------------------------------
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
+                 with_rays: bool = True, rng=None):
+        """Full forward for one scene.
+
+        ``batch`` keys (all static shapes):
+            imgs (V, Hp, Wp, 3), denorm_images (V, Hp, Wp, 3),
+            intrinsic (4, 4), extrinsics (V, 4, 4), origin (3,),
+            optionally depth (V, H, W) and the ray bundle
+            ray_o/ray_d (R, 3).
+
+        Returns (head_outs, valid, render_outputs).
+        """
+        features = self.extract_2d(batch["imgs"])
+        vol = self.build_volume(
+            features,
+            batch.get("denorm_images"),
+            batch["intrinsic"],
+            batch["extrinsics"],
+            batch["origin"],
+            depth=batch.get("depth"),
+            use_nerf=with_rays,
+        )
+        head_outs = self.detect(vol["det_volume"], train=train)
+
+        render_out = None
+        if with_rays and "ray_o" in batch:
+            render_out = self.render(
+                batch["ray_o"], batch["ray_d"], features,
+                batch["denorm_images"], batch["intrinsic"],
+                batch["extrinsics"], volume_stats=vol,
+                det=not train, rng=rng,
+            )
+        return head_outs, vol["valid"], render_out
+
+    def mlvl_points(self, origin):
+        """Per-scale voxel-center grids for loss/decode
+        (reference `imvoxel_head_v2.py:205-214`)."""
+        pts = []
+        for i in range(self.n_scales):
+            n_vox = tuple(v // (2 ** i) for v in self.n_voxels)
+            size = tuple(s * (2 ** i) for s in self.voxel_size)
+            pts.append(get_points(n_vox, size, origin).reshape(-1, 3))
+        return pts

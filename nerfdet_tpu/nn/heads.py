@@ -178,22 +178,25 @@ def resize_valid(valid, shape):
     return jnp.round(r) > 0
 
 
-def head_loss(head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
-              n_scales: int, limit: int, centerness_topk: int,
-              n_classes: int, n_pos_override: Optional[jnp.ndarray] = None):
-    """Per-scene detection loss (reference `:115-203`).
+def head_loss_sums(head_outs, valid, mlvl_points, gt_boxes, gt_labels,
+                   gt_mask, n_scales: int, limit: int,
+                   centerness_topk: int, n_classes: int):
+    """Per-scene *unnormalized* loss sums (reference `:115-203`).
+
+    Returns a dict of raw weighted sums plus their normalizers so the
+    train step can apply the reference's cross-device semantics: the
+    focal/centerness ``avg_factor`` is ``max(reduce_mean(n_pos), 1)``
+    over devices (`:174-176`) while the bbox ``avg_factor`` is the
+    *local* positive-centerness sum (`:197-199`).
 
     Args:
         head_outs: per-scale (centerness, bbox_pred, cls_score), channels
             last, no batch dim.
         valid: (nx, ny, nz) per-voxel observed-view count at scale 0.
         mlvl_points: per-scale (Pi, 3) voxel centers.
-        n_pos_override: cross-device-averaged positive count (pass
-            ``lax.pmean`` of the local value for DDP-parity); default uses
-            the local count.
 
     Returns:
-        dict(loss_centerness, loss_bbox, loss_cls, n_pos)
+        dict(cls_sum, centerness_sum, bbox_sum, n_pos, bbox_avg)
     """
     flat_center, flat_bbox, flat_cls, flat_valid = [], [], [], []
     for (c, b, s) in head_outs:
@@ -220,29 +223,50 @@ def head_loss(head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
 
     pos = (labels >= 0) & valids
     n_pos_local = pos.sum().astype(jnp.float32)
-    n_pos = jnp.maximum(
-        n_pos_local if n_pos_override is None else n_pos_override, 1.0
-    )
 
-    loss_cls = losses.sigmoid_focal_loss(
+    cls_sum = losses.sigmoid_focal_loss(
         cls_scores, jnp.where(valids, labels, -1),
-        weight=valids.astype(jnp.float32), avg_factor=n_pos,
+        weight=valids.astype(jnp.float32),
     )
     pos_w = pos.astype(jnp.float32)
     centerness_t = jnp.where(pos, centerness_t, 0.0)
-    loss_centerness = losses.binary_cross_entropy(
-        centerness, centerness_t, weight=pos_w, avg_factor=n_pos
+    centerness_sum = losses.binary_cross_entropy(
+        centerness, centerness_t, weight=pos_w
     )
-    bbox_avg = jnp.maximum(jnp.sum(centerness_t * pos_w), 1e-6)
-    loss_bbox = losses.axis_aligned_iou_loss(
+    bbox_avg = jnp.sum(centerness_t * pos_w)
+    bbox_sum = losses.axis_aligned_iou_loss(
         bbox_pred_to_bbox(points, bbox_preds), bbox_t,
-        weight=centerness_t * pos_w, avg_factor=bbox_avg,
+        weight=centerness_t * pos_w,
     )
     return dict(
-        loss_centerness=loss_centerness,
-        loss_bbox=loss_bbox,
-        loss_cls=loss_cls,
+        cls_sum=cls_sum,
+        centerness_sum=centerness_sum,
+        bbox_sum=bbox_sum,
         n_pos=n_pos_local,
+        bbox_avg=bbox_avg,
+    )
+
+
+def head_loss(head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
+              n_scales: int, limit: int, centerness_topk: int,
+              n_classes: int, n_pos_override: Optional[jnp.ndarray] = None):
+    """Per-scene normalized detection loss (single-device convenience).
+
+    ``n_pos_override`` stands in for the cross-device
+    ``reduce_mean(n_pos)`` of the reference (`:174-176`).
+    """
+    sums = head_loss_sums(
+        head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
+        n_scales, limit, centerness_topk, n_classes,
+    )
+    n_pos = jnp.maximum(
+        sums["n_pos"] if n_pos_override is None else n_pos_override, 1.0
+    )
+    return dict(
+        loss_centerness=sums["centerness_sum"] / n_pos,
+        loss_bbox=sums["bbox_sum"] / jnp.maximum(sums["bbox_avg"], 1e-6),
+        loss_cls=sums["cls_sum"] / n_pos,
+        n_pos=sums["n_pos"],
     )
 
 

@@ -99,11 +99,19 @@ def projector_compute(pts, images, intrinsics, poses, img_hw,
         return grid_sample_2d(img, px, py, padding="zeros")
 
     px, py = pixels[..., 0], pixels[..., 1]
-    rgb = jax.vmap(sample_one)(images, px, py)  # (V, R, S, 3)
+    # The reference normalizes pixel coords by (img_shape - 1) but
+    # grid_samples the *padded* tensor, whose extent maps [-1, 1] onto
+    # (tensor_size - 1) (`projection.py:37-40,120`). Mirror that exactly:
+    # sampling any map of size (mh, mw) rescales the coords by
+    # (m - 1) / (img_shape - 1) per axis.
+    ih, iw = images.shape[1:3]
+    rgb = jax.vmap(sample_one)(
+        images,
+        px * ((iw - 1.0) / (w - 1.0)),
+        py * ((ih - 1.0) / (h - 1.0)),
+    )  # (V, R, S, 3)
     if featmaps is not None:
         fh, fw = featmaps.shape[1:3]
-        # identical normalized coords on the coarser grid
-        # (align_corners=True: px_f = px / (w-1) * (fw-1))
         fx = px * ((fw - 1.0) / (w - 1.0))
         fy = py * ((fh - 1.0) / (h - 1.0))
         feat = jax.vmap(sample_one)(featmaps, fx, fy)

@@ -123,7 +123,8 @@ def depth_gate(z, x, y, valid, depth, height: int, width: int,
 
 def backproject_volume(features, points, projection,
                        depth: Optional[jnp.ndarray] = None,
-                       voxel_size_z: Optional[float] = None
+                       voxel_size_z: Optional[float] = None,
+                       image_hw: Optional[Tuple[int, int]] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference-semantics dense back-projection (for tests & small runs).
 
@@ -131,12 +132,17 @@ def backproject_volume(features, points, projection,
         features: (V, H, W, C) per-view feature maps.
         points: (N, 3) voxel centers.
         projection: (V, 3, 4).
+        image_hw: validity bounds when smaller than the (padded) map —
+            the reference crops ``feature[:, :, :height, :width]``
+            (`nerfdet.py:162-169`); passing bounds instead of cropping
+            keeps the gather shape TPU-aligned.
 
     Returns:
         (volume, valid): (V, N, C) gathered features (0 where invalid) and
         (V, N) validity (reference `nerfdet.py:393-420`).
     """
-    v, h, w, _ = features.shape
+    v, fh, fw, _ = features.shape
+    h, w = image_hw if image_hw is not None else (fh, fw)
     x, y, z, valid = project_points(points, projection, h, w)
     if depth is not None:
         valid = depth_gate(z, x, y, valid, depth, h, w, voxel_size_z)
@@ -149,7 +155,9 @@ def fused_mean_cov(features, points, projection,
                    voxel_size_z: Optional[float] = None,
                    invalid_fill: Optional[jnp.ndarray] = None,
                    extra_features: Optional[jnp.ndarray] = None,
-                   extra_projection: Optional[jnp.ndarray] = None):
+                   extra_projection: Optional[jnp.ndarray] = None,
+                   image_hw: Optional[Tuple[int, int]] = None,
+                   extra_image_hw: Optional[Tuple[int, int]] = None):
     """Streaming multi-view fusion: mean, exp(-var), valid count.
 
     Computes, without materialising the (V, N, C) tensor, exactly the
@@ -176,7 +184,8 @@ def fused_mean_cov(features, points, projection,
     Returns:
         (mean, cov, count): (N, C_total), (N, C_total), (N,).
     """
-    v, h, w, c = features.shape
+    v, fh, fw, c = features.shape
+    h, w = image_hw if image_hw is not None else (fh, fw)
     x, y, z, valid = project_points(points, projection, h, w)
     if depth is not None:
         valid = depth_gate(z, x, y, valid, depth, h, w, voxel_size_z)
@@ -184,7 +193,9 @@ def fused_mean_cov(features, points, projection,
     c_extra = 0
     if extra_features is not None:
         c_extra = extra_features.shape[-1]
-        he, we = extra_features.shape[1:3]
+        feh, few = extra_features.shape[1:3]
+        he, we = (extra_image_hw if extra_image_hw is not None
+                  else (feh, few))
         xe, ye, ze, valide = project_points(points, extra_projection, he, we)
         if depth is not None:
             # the reference depth-gates the rgb back-projection too

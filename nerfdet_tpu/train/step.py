@@ -1,0 +1,188 @@
+"""Jitted train / eval steps with mesh data parallelism.
+
+The reference trains one scene per GPU under DDP with NCCL gradient
+allreduce (`tools/train.py:98-102`, SURVEY §2.4). Here the global batch
+is a stacked pytree of scenes whose leading axis is sharded over the
+``data`` axis of a `jax.sharding.Mesh`; the per-scene loss is ``vmap``-ed
+and the mean reduction makes XLA emit the gradient ``psum`` over ICI —
+no hand-written collectives.
+
+DDP-parity notes:
+
+* the focal/centerness ``avg_factor`` is the cross-scene mean positive
+  count (reference ``reduce_mean`` `imvoxel_head_v2.py:174-176`) — with
+  the batch axis global, a plain ``jnp.mean`` IS the cross-device mean;
+* BatchNorm (3D neck) statistics are averaged over the scene axis
+  (the reference syncs buffers from rank 0 via DDP broadcast; averaging
+  is the mesh-native equivalent);
+* losses: centerness + bbox + cls (`:115-203`) + nvs masked-MSE
+  (`nerfdet.py:296-307`) + optional depth masked-L1 (`:309-321`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..nn import losses as loss_lib
+from ..nn.heads import get_candidate_bboxes, head_loss_sums
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def scene_loss_terms(model, params, batch_stats, scene: Dict, rng,
+                     depth_supervise: bool, use_nerf_mask: bool,
+                     rgb_supervision: bool = True):
+    """Loss sums for ONE scene. Returns (terms dict, new batch_stats)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    (head_outs, valid, render), mutated = model.apply(
+        variables, scene, train=True, with_rays=True, rng=rng,
+        mutable=["batch_stats"],
+    )
+    mlvl_points = model.mlvl_points(scene["origin"])
+    terms = head_loss_sums(
+        head_outs, valid, mlvl_points,
+        scene["gt_boxes"], scene["gt_labels"], scene["gt_mask"],
+        model.n_scales, model.head_limit, model.head_centerness_topk,
+        model.n_classes,
+    )
+    if render is not None and rgb_supervision:
+        mask = (render["mask"].astype(jnp.float32) if use_nerf_mask
+                else jnp.ones_like(render["depth"]))
+        terms["loss_nvs"] = loss_lib.masked_mse(
+            render["rgb"], scene["gt_rgb"], mask)
+        if depth_supervise:
+            terms["loss_depth"] = loss_lib.masked_l1(
+                render["depth"], scene["gt_depth"], mask)
+    return terms, mutated["batch_stats"]
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    depth_supervise: bool = False,
+                    use_nerf_mask: bool = True,
+                    rgb_supervision: bool = True,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    ``batch`` is a dict of stacked scenes (leading axis = batch); shard
+    its leading axis over the mesh ``data`` axis before calling (see
+    :func:`shard_batch`). Returns ``(state, metrics)``.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        keys = jax.random.split(rng, b)
+
+        def one(scene, key):
+            return scene_loss_terms(
+                model, params, batch_stats, scene, key,
+                depth_supervise, use_nerf_mask, rgb_supervision)
+
+        terms, new_stats = jax.vmap(one)(batch, keys)
+        # DDP buffer sync equivalent: average the per-scene BN stats
+        new_stats = jax.tree_util.tree_map(
+            lambda x: x.mean(axis=0), new_stats)
+
+        n_pos = jnp.maximum(jnp.mean(terms["n_pos"]), 1.0)
+        loss_centerness = jnp.mean(terms["centerness_sum"]) / n_pos
+        loss_cls = jnp.mean(terms["cls_sum"]) / n_pos
+        loss_bbox = jnp.mean(
+            terms["bbox_sum"] / jnp.maximum(terms["bbox_avg"], 1e-6))
+        loss = loss_centerness + loss_cls + loss_bbox
+        metrics = dict(
+            loss_centerness=loss_centerness,
+            loss_cls=loss_cls,
+            loss_bbox=loss_bbox,
+            n_pos=jnp.mean(terms["n_pos"]),
+        )
+        if "loss_nvs" in terms:
+            loss_nvs = jnp.mean(terms["loss_nvs"])
+            loss = loss + loss_nvs
+            metrics["loss_nvs"] = loss_nvs
+        if "loss_depth" in terms:
+            loss_depth = jnp.mean(terms["loss_depth"])
+            loss = loss + loss_depth
+            metrics["loss_depth"] = loss_depth
+        metrics["loss"] = loss
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(params=params, batch_stats=new_stats,
+                          opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, nms_pre: int = 1000,
+                   with_rays: bool = False) -> Callable:
+    """Jitted single-scene inference: candidate boxes + scores (+ render).
+
+    Device side of the reference `simple_test` (`nerfdet.py:338-344` →
+    `imvoxel_head_v2.py:216-285`); the final score-threshold + NMS runs
+    host-side (`core/nms.py`) exactly like the reference's `_nms`.
+    """
+
+    def eval_step(params, batch_stats, scene):
+        variables = {"params": params, "batch_stats": batch_stats}
+        head_outs, valid, render = model.apply(
+            variables, scene, train=False, with_rays=with_rays)
+        mlvl_points = model.mlvl_points(scene["origin"])
+        boxes, scores = get_candidate_bboxes(
+            head_outs, valid, mlvl_points, nms_pre, model.n_classes)
+        out = dict(boxes=boxes, scores=scores)
+        if render is not None:
+            out["render_rgb"] = render["rgb"]
+            out["render_depth"] = render["depth"]
+        return out
+
+    return jax.jit(eval_step)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data"):
+    """A 1-D data-parallel mesh over all (or the first n) devices."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return jax.sharding.Mesh(devs, (axis,))
+
+
+def shard_batch(batch, mesh, axis: str = "data"):
+    """Place a stacked-scene batch with its leading dim sharded over
+    ``axis``; everything else (params/state) stays replicated."""
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh):
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Offline data preparation (reference `tools/create_data.py:279-284`).
+
+Usage:
+    python tools/create_data.py scannet --root-path ./data/scannet \
+        [--out-dir ./data/scannet] [--workers 4]
+
+    # generate a synthetic mini-dataset (CI / smoke tests)
+    python tools/create_data.py synthetic --root-path /tmp/mini_scannet
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="Data converter")
+    p.add_argument("dataset", choices=["scannet", "synthetic"])
+    p.add_argument("--root-path", required=True)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--n-scenes", type=int, default=4,
+                   help="synthetic: scenes per split")
+    p.add_argument("--n-images", type=int, default=20,
+                   help="synthetic: views per scene")
+    args = p.parse_args()
+
+    if args.dataset == "scannet":
+        from nerfdet_tpu.data.scannet_etl import create_scannet_info_file
+
+        create_scannet_info_file(
+            args.root_path, out_dir=args.out_dir,
+            num_workers=args.workers)
+    else:
+        from nerfdet_tpu.data.synthetic import write_synthetic_scannet
+
+        write_synthetic_scannet(
+            args.root_path, n_scenes=args.n_scenes,
+            n_images=args.n_images, hw=(240, 320), with_depth=True)
+        print(f"[synthetic] wrote {args.n_scenes}x2 scenes -> "
+              f"{args.root_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Evaluate a trained NeRF-Det checkpoint (mAP / NVS metrics).
+
+Equivalent of the reference `tools/test.py` (+ `mmdet3d/apis/test.py`).
+
+Usage:
+    python tools/test.py <config> <checkpoint> --eval mAP
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--eval", nargs="+", default=["mAP"])
+    p.add_argument("--out", default=None, help="dump results json")
+    p.add_argument("--max-scenes", type=int, default=None)
+    p.add_argument("--options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from nerfdet_tpu.api import run_eval, scene_meta_from_config
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.data.dataset import build_dataset
+    from nerfdet_tpu.models.builder import build_model
+    from nerfdet_tpu.utils import get_root_logger, load_checkpoint
+
+    cfg = Config.fromfile(args.config)
+    if args.options:
+        cfg.merge_from_options(args.options)
+    logger = get_root_logger()
+
+    use_depth = cfg.get("input_modality", {}).get("use_depth", False)
+    dataset = build_dataset(cfg.data["test"], test_mode=True,
+                            use_depth=use_depth)
+    if args.max_scenes:
+        dataset.data_infos = dataset.data_infos[: args.max_scenes]
+
+    model = build_model(cfg.model, meta=scene_meta_from_config(cfg))
+    ckpt = load_checkpoint(args.checkpoint)
+    variables = dict(params=ckpt["params"],
+                     batch_stats=ckpt.get("batch_stats", {}))
+
+    metrics = run_eval(model, variables, dataset, dict(cfg.test_cfg),
+                       logger=logger)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+    print(json.dumps({k: v for k, v in metrics.items()
+                      if k.startswith(("mAP", "mAR"))}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
