@@ -49,8 +49,9 @@ def main():
     batch = {k: jnp.asarray(scene[k]) for k in
              ("imgs", "denorm_images", "intrinsic", "extrinsics", "origin")}
 
-    params = model.init(jax.random.PRNGKey(0), batch, train=False,
-                        with_rays=True)
+    params = jax.jit(
+        lambda k: model.init(k, batch, train=False, with_rays=True))(
+        jax.random.PRNGKey(0))
 
     nms_pre = cfg.test_cfg["nms_pre"]
 

@@ -135,9 +135,15 @@ def boxes_iou_3d(boxes1, boxes2, with_yaw: bool = False, mode: str = "iou"):
     xp = np if isinstance(boxes1, np.ndarray) else _jnp()
     overlaps_h = height_overlap(boxes1, boxes2)
     if with_yaw and boxes1.shape[-1] > 6:
-        from ..ops.rotated_iou import rotated_bev_overlap
+        overlaps_bev = None
+        if isinstance(boxes1, np.ndarray):
+            from ..ops import native
 
-        overlaps_bev = rotated_bev_overlap(boxes1, boxes2)
+            overlaps_bev = native.rotated_bev_overlap(boxes1, boxes2)
+        if overlaps_bev is None:
+            from ..ops.rotated_iou import rotated_bev_overlap
+
+            overlaps_bev = rotated_bev_overlap(boxes1, boxes2)
     else:
         overlaps_bev = axis_aligned_bev_overlap(boxes1, boxes2)
     overlaps_3d = overlaps_bev * overlaps_h
@@ -178,6 +184,38 @@ def axis_aligned_iou_corner_format(boxes1, boxes2, aligned=True, eps=1e-6):
         inter = whd[..., 0] * whd[..., 1] * whd[..., 2]
         union = vol1[..., :, None] + vol2[..., None, :] - inter
     return inter / xp.clip(union, eps, None)
+
+
+def points_in_boxes(points, boxes):
+    """(P, 3) points x (N, 7) bottom-centered boxes -> (P,) index of the
+    first containing box, -1 if none.
+
+    API parity with the reference's roiaware_pool3d
+    ``points_in_boxes_batch`` used by `depth_box3d.py:points_in_boxes`.
+    Native C++ path when available, vectorized numpy otherwise.
+    """
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 7)
+    from ..ops import native
+
+    out = native.points_in_boxes(points, boxes)
+    if out is not None:
+        return out
+    if boxes.shape[0] == 0:
+        return np.full(points.shape[0], -1, np.int32)
+    # rotate points into each box frame
+    rel = points[:, None, :2] - boxes[None, :, :2]  # (P, N, 2)
+    c, s = np.cos(-boxes[:, 6]), np.sin(-boxes[:, 6])
+    lx = rel[..., 0] * c[None, :] - rel[..., 1] * s[None, :]
+    ly = rel[..., 0] * s[None, :] + rel[..., 1] * c[None, :]
+    inside = (
+        (np.abs(lx) <= boxes[None, :, 3] / 2)
+        & (np.abs(ly) <= boxes[None, :, 4] / 2)
+        & (points[:, None, 2] >= boxes[None, :, 2])
+        & (points[:, None, 2] <= boxes[None, :, 2] + boxes[None, :, 5])
+    )
+    first = inside.argmax(axis=1).astype(np.int32)
+    return np.where(inside.any(axis=1), first, -1)
 
 
 class DepthBoxes3D:
@@ -247,6 +285,9 @@ class DepthBoxes3D:
             self.tensor, other.tensor, with_yaw=self.with_yaw or other.with_yaw,
             mode=mode,
         )
+
+    def points_in_boxes(self, points):
+        return points_in_boxes(points, self.tensor)
 
     def new_box(self, data):
         return DepthBoxes3D(data, box_dim=self.box_dim, with_yaw=self.with_yaw)

@@ -22,6 +22,12 @@ def aligned_3d_nms(boxes, scores, classes, thresh: float):
     boxes = np.asarray(boxes, np.float32)
     scores = np.asarray(scores, np.float32)
     classes = np.asarray(classes)
+    if boxes.shape[0] > 1:
+        from ..ops import native
+
+        keep = native.aligned_nms_3d(boxes, scores, classes, thresh)
+        if keep is not None:
+            return keep
     x1, y1, z1, x2, y2, z2 = (boxes[:, i] for i in range(6))
     area = (x2 - x1) * (y2 - y1) * (z2 - z1)
 

@@ -53,8 +53,9 @@ def main():
     batch = {k: jnp.asarray(scene[k]) for k in
              ("imgs", "denorm_images", "intrinsic", "extrinsics",
               "origin")}
-    params = model.init(jax.random.PRNGKey(0), batch, train=False,
-                        with_rays=True)
+    params = jax.jit(
+        lambda k: model.init(k, batch, train=False, with_rays=True))(
+        jax.random.PRNGKey(0))
 
     def infer(variables, b):
         head_outs, valid, _ = model.apply(
