@@ -76,7 +76,7 @@ test_pipeline = [
              dict(type='Pad', size=(64, 80))],
          mean=img_norm_cfg['mean'], std=img_norm_cfg['std'],
          margin=4, depth_range=[0.5, 5.5], loading='random',
-         nerf_target_views=0),
+         nerf_target_views=1),
     dict(type='DefaultFormatBundle3D', class_names=class_names,
          with_label=False),
     dict(type='Collect3D', keys=['img']),

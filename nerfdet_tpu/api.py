@@ -112,6 +112,56 @@ def single_scene_test(eval_step, variables, scene: Dict,
         out["boxes"], out["scores"], score_thr, iou_thr)
 
 
+def run_nvs_eval(model, variables, dataset, chunk: int = 2048,
+                 out_dir: Optional[str] = None, logger=None,
+                 progress: bool = True) -> Dict:
+    """Novel-view-synthesis evaluation: render every held-out target
+    view, score PSNR/SSIM/RMSE, optionally dump comparison PNGs.
+
+    Equivalent of the reference's ``render_testing`` branch +
+    ``save_rendered_img`` + ``evaluate_nerf.py`` (SURVEY §3.3).
+    """
+    import jax
+
+    from .core.nvs_metrics import aggregate_nvs, evaluate_rendering
+
+    h = dataset.pipeline.pad_size[0] - 2 * dataset.pipeline.margin
+    w = dataset.pipeline.pad_size[1] - 2 * dataset.pipeline.margin
+
+    def render(vars_, batch):
+        return model.apply(vars_, batch, chunk,
+                           method=type(model).render_full)
+
+    render_jit = jax.jit(render)
+    device_keys = ("imgs", "denorm_images", "intrinsic", "extrinsics",
+                   "origin", "depth", "ray_o", "ray_d")
+    per_scene = {}
+    for i in range(len(dataset)):
+        scene = dataset[i]
+        batch = {k: scene[k] for k in device_keys if k in scene}
+        rgb, depth = jax.device_get(render_jit(
+            dict(params=variables["params"],
+                 batch_stats=variables.get("batch_stats", {})), batch))
+        t = scene["ray_o"].shape[0] if scene["ray_o"].ndim == 3 else 1
+        rgb = rgb.reshape(t, h, w, 3)
+        depth = depth.reshape(t, h, w)
+        gt_rgb = np.asarray(scene["gt_rgb"]).reshape(t, h, w, 3)
+        gt_depth = (np.asarray(scene["gt_depth"]).reshape(t, h, w)
+                    if "gt_depth" in scene else None)
+        per_scene[f"scene_{i}"] = evaluate_rendering(
+            rgb, gt_rgb, depth=depth, gt_depth=gt_depth,
+            out_dir=out_dir, scene=f"scene_{i}")
+        if progress:
+            m = per_scene[f"scene_{i}"]
+            print(f"[nvs] scene {i}: psnr={m['psnr']:.2f} "
+                  f"ssim={m['ssim']:.3f}", flush=True)
+    agg = aggregate_nvs(per_scene)
+    if logger is not None:
+        logger.info("NVS: " + " ".join(
+            f"{k}: {v:.4f}" for k, v in agg.items()))
+    return agg
+
+
 def run_eval(model, variables, dataset, test_cfg: Dict,
              logger=None, progress: bool = True) -> Dict:
     """Single-host eval loop (reference `mmdet3d/apis/test.py:5-32` +

@@ -255,7 +255,9 @@ def write_synthetic_scannet(root: str, n_scenes: int = 2,
                 Image.fromarray(img8).save(
                     os.path.join(root, rel), quality=95)
                 if with_depth:
-                    d16 = (depth * 1000).astype(np.uint16)
+                    # sensor-style mm depth; clip distant floor hits to
+                    # the uint16 range
+                    d16 = np.clip(depth * 1000, 0, 65000).astype(np.uint16)
                     Image.fromarray(d16).save(
                         os.path.join(root, rel[:-4] + ".png"))
                 img_paths.append(rel)

@@ -211,7 +211,7 @@ class NerfDet(nn.Module):
 
     def render(self, ray_o, ray_d, features, imgs_denorm, intrinsic,
                extrinsics, volume_stats=None, det: bool = True,
-               rng=None):
+               rng=None, featmaps=None):
         """Render a chunk of rays (reference `render_ray.py:250-369`).
 
         ``features`` are the stride-4 FPN maps; in image mode they are
@@ -234,7 +234,8 @@ class NerfDet(nn.Module):
             )
 
         if self.nerf_mode == "image":
-            featmaps = self.mapping(features)
+            if featmaps is None:
+                featmaps = self.mapping(features)
             return render_ops.render_rays_chunk(
                 ray_o, ray_d, mlp_fn,
                 mode="image",
@@ -304,6 +305,45 @@ class NerfDet(nn.Module):
                 det=not train, rng=rng,
             )
         return head_outs, vol["valid"], render_out
+
+    def render_full(self, batch: Dict[str, jnp.ndarray],
+                    chunk: int = 2048):
+        """Test-time full-image rendering (reference `render_ray.py:452-517`
+        via the chunk loop `:472-498`, here a ``lax.map`` inside one jit).
+
+        ``batch['ray_o'/'ray_d']``: (T, R, 3) per-target-view ray grids
+        (or already-flat (R, 3)). Returns (rgb (N, 3), depth (N,)) with
+        N the flattened, padded-to-chunk ray count truncated back to the
+        input count.
+        """
+        features = self.extract_2d(batch["imgs"])
+        ray_o = batch["ray_o"].reshape(-1, 3)
+        ray_d = batch["ray_d"].reshape(-1, 3)
+        n = ray_o.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            ray_o = jnp.concatenate([ray_o, ray_o[:pad]], axis=0)
+            ray_d = jnp.concatenate([ray_d, ray_d[:pad]], axis=0)
+
+        vol = None
+        featmaps = None
+        if self.nerf_mode == "volume":
+            vol = self.build_volume(
+                features, batch.get("denorm_images"), batch["intrinsic"],
+                batch["extrinsics"], batch["origin"],
+                depth=batch.get("depth"), use_nerf=True)
+        else:
+            featmaps = self.mapping(features)  # hoisted out of the loop
+
+        def rf(ro, rd):
+            out = self.render(
+                ro, rd, features, batch["denorm_images"],
+                batch["intrinsic"], batch["extrinsics"],
+                volume_stats=vol, det=True, featmaps=featmaps)
+            return {"rgb": out["rgb"], "depth": out["depth"]}
+
+        outs = render_ops.render_rays_full(ray_o, ray_d, chunk, rf)
+        return outs["rgb"][:n], outs["depth"][:n]
 
     def mlvl_points(self, origin):
         """Per-scale voxel-center grids for loss/decode

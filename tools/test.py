@@ -22,8 +22,11 @@ def parse_args():
     p = argparse.ArgumentParser(description="Test a detector")
     p.add_argument("config")
     p.add_argument("checkpoint")
-    p.add_argument("--eval", nargs="+", default=["mAP"])
+    p.add_argument("--eval", nargs="+", default=["mAP"],
+                   help="metrics: mAP and/or nvs")
     p.add_argument("--out", default=None, help="dump results json")
+    p.add_argument("--show-dir", default=None,
+                   help="dump rendered view PNGs here (nvs eval)")
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--options", nargs="+", default=[])
     return p.parse_args()
@@ -55,13 +58,23 @@ def main():
     variables = dict(params=ckpt["params"],
                      batch_stats=ckpt.get("batch_stats", {}))
 
-    metrics = run_eval(model, variables, dataset, dict(cfg.test_cfg),
-                       logger=logger)
+    metrics = {}
+    if "mAP" in args.eval:
+        metrics.update(run_eval(model, variables, dataset,
+                                dict(cfg.test_cfg), logger=logger))
+    if "nvs" in args.eval:
+        from nerfdet_tpu.api import run_nvs_eval
+
+        metrics.update(run_nvs_eval(
+            model, variables, dataset,
+            chunk=cfg.model.get("N_rand", 2048),
+            out_dir=args.show_dir, logger=logger))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(metrics, f, indent=2)
     print(json.dumps({k: v for k, v in metrics.items()
-                      if k.startswith(("mAP", "mAR"))}, indent=2))
+                      if k.startswith(("mAP", "mAR", "psnr", "ssim",
+                                       "rmse"))}, indent=2))
 
 
 if __name__ == "__main__":
