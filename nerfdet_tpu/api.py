@@ -112,6 +112,29 @@ def single_scene_test(eval_step, variables, scene: Dict,
         out["boxes"], out["scores"], score_thr, iou_thr)
 
 
+def inference_detector(model, variables, info: Dict, config,
+                       use_depth: bool = False) -> Dict:
+    """Run detection on ONE raw scene described by ``info``
+    (``img_paths``, ``extrinsics`` world->cam, ``intrinsic``), replaying
+    the config's test pipeline — reference `mmdet3d/apis/inference.py:46+`.
+    """
+    import numpy as np
+
+    from .data.dataset import build_dataset
+    from .train.step import make_eval_step
+
+    data_cfg = dict(config.data["test"])
+    ds = build_dataset(data_cfg, test_mode=True, use_depth=use_depth)
+    scene = ds.pipeline(info, np.random.RandomState(0))
+    scene["origin"] = np.array([0.0, 0.0, 0.5], np.float32)
+    eval_step = make_eval_step(
+        model, nms_pre=config.test_cfg.get("nms_pre", 1000))
+    return single_scene_test(
+        eval_step, variables, scene,
+        score_thr=config.test_cfg.get("score_thr", 0.01),
+        iou_thr=config.test_cfg.get("iou_thr", 0.25))
+
+
 def run_nvs_eval(model, variables, dataset, chunk: int = 2048,
                  out_dir: Optional[str] = None, logger=None,
                  progress: bool = True) -> Dict:
