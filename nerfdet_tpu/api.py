@@ -186,20 +186,54 @@ def run_nvs_eval(model, variables, dataset, chunk: int = 2048,
 
 
 def run_eval(model, variables, dataset, test_cfg: Dict,
-             logger=None, progress: bool = True) -> Dict:
-    """Single-host eval loop (reference `mmdet3d/apis/test.py:5-32` +
-    `dataset.evaluate`)."""
+             logger=None, progress: bool = True,
+             rank: int = 0, world: int = 1,
+             partial_dir: Optional[str] = None) -> Dict:
+    """Eval loop (reference `mmdet3d/apis/test.py:5-32` + the
+    multi-process sharded collection of `mmdet.apis.multi_gpu_test`).
+
+    With ``world > 1`` each process evaluates scenes ``rank::world`` and
+    writes its partial results to ``partial_dir``; rank 0 waits for all
+    shards and merges before scoring (the reference's tmpdir collect,
+    `tools/test.py:127-136`).
+    """
     from .train.step import make_eval_step
 
     eval_step = make_eval_step(model, nms_pre=test_cfg.get("nms_pre", 1000))
-    results: List[Dict] = []
     n = len(dataset)
-    for i in range(n):
+    local: List = []
+    for i in range(rank, n, world):
         scene = dataset[i]
-        results.append(single_scene_test(
+        local.append((i, single_scene_test(
             eval_step, variables, scene,
             score_thr=test_cfg.get("score_thr", 0.01),
-            iou_thr=test_cfg.get("iou_thr", 0.25)))
-        if progress and (i + 1) % 10 == 0:
-            print(f"[eval] {i + 1}/{n}", flush=True)
+            iou_thr=test_cfg.get("iou_thr", 0.25))))
+        if progress and len(local) % 10 == 0:
+            print(f"[eval] rank {rank}: {len(local)}/{(n - rank + world - 1) // world}",
+                  flush=True)
+
+    if world == 1:
+        return dataset.evaluate([r for _, r in local], logger=logger)
+
+    import pickle
+    import time as _time
+
+    assert partial_dir is not None, "sharded eval needs partial_dir"
+    os_mod = __import__("os")
+    os_mod.makedirs(partial_dir, exist_ok=True)
+    with open(f"{partial_dir}/part_{rank}.pkl", "wb") as f:
+        pickle.dump(local, f)
+    if rank != 0:
+        return {}
+    merged: Dict[int, Dict] = {}
+    for r in range(world):
+        path = f"{partial_dir}/part_{r}.pkl"
+        for _ in range(600):
+            if os_mod.path.exists(path):
+                break
+            _time.sleep(1.0)
+        with open(path, "rb") as f:
+            for i, res in pickle.load(f):
+                merged[i] = res
+    results = [merged[i] for i in range(n)]
     return dataset.evaluate(results, logger=logger)

@@ -130,7 +130,8 @@ class NerfDet(nn.Module):
         return self.neck(feats)[0]
 
     def build_volume(self, features, imgs_denorm, intrinsic, extrinsics,
-                     origin, depth=None, use_nerf: bool = True):
+                     origin, depth=None, use_nerf: bool = True,
+                     view_axis: Optional[str] = None):
         """Back-project, fuse, (optionally) density-modulate the volume.
 
         Mirrors `nerfdet.py:149-261` for one scene.
@@ -153,6 +154,7 @@ class NerfDet(nn.Module):
         mean, cov, count = fused_mean_cov(
             features, pts_flat, projection,
             depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
+            axis_name=view_axis,
         )
 
         det_volume = mean
@@ -177,6 +179,7 @@ class NerfDet(nn.Module):
                 extra_projection=rgb_projection,
                 image_hw=feat_hw,
                 extra_image_hw=(h_img, w_img),
+                axis_name=view_axis,
             )
             global_volume = jnp.concatenate([g_mean, g_cov], axis=-1)
             density = self.nerf_mlp.query_density(

@@ -17,34 +17,39 @@ from flax import linen as nn
 
 
 class BasicBlock3dV2(nn.Module):
-    """Residual 3D block (reference `imvoxelnet.py:233-260`)."""
+    """Residual 3D block (reference `imvoxelnet.py:233-260`).
+
+    ``bn_axis_name``: mesh axis for cross-device batch-stat reduction —
+    the TPU-native equivalent of the reference's allgather-based
+    ``NaiveSyncBatchNorm`` (`mmdet3d/ops/norm.py:12-108`); None keeps
+    the per-device (per-GPU DDP) semantics the nerfdet configs use.
+    """
 
     out_channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         s = (self.stride,) * 3
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, axis_name=self.bn_axis_name, name=name)
         identity = x
         y = nn.Conv(self.out_channels, (3, 3, 3), strides=s,
                     padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
+        y = bn("norm1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        y = bn("norm2")(y)
         if self.stride != 1:
             identity = nn.Conv(self.out_channels, (1, 1, 1), strides=s,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype,
-                                    name="downsample_norm")(identity)
+            identity = bn("downsample_norm")(identity)
         return nn.relu(y + identity)
 
 
@@ -78,6 +83,88 @@ class _UpBlock(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.relu(x)
+
+
+class BasicBlock3d(nn.Module):
+    """Atlas-style 3x3x3 residual block (reference `imvoxelnet.py:190-232`):
+    like V2 but without a strided/downsample variant."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        return nn.relu(y + x)
+
+
+class _ConvBnRelu3d(nn.Module):
+    out_channels: int
+    stride: Any = (1, 1, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (3, 3, 3), strides=self.stride,
+                    padding=((1, 1),) * 3, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.relu(x)
+
+
+class KittiImVoxelNeck(nn.Module):
+    """Outdoor neck: collapse z to one slice, emit a BEV map
+    (reference `imvoxelnet.py:95-123`). Returns [(B, ny, nx, C)]."""
+
+    in_channels: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.in_channels
+        x = BasicBlock3d(c, self.dtype, name="block1")(x, train)
+        x = _ConvBnRelu3d(c * 2, dtype=self.dtype, name="down1")(x, train)
+        x = BasicBlock3d(c * 2, self.dtype, name="block2")(x, train)
+        x = _ConvBnRelu3d(c * 4, dtype=self.dtype, name="down2")(x, train)
+        x = BasicBlock3d(c * 4, self.dtype, name="block3")(x, train)
+        x = _ConvBnRelu3d(self.out_channels, dtype=self.dtype,
+                          name="out")(x, train)
+        assert x.shape[-2] == 1, "z must collapse to one slice"
+        # (B, nx, ny, 1, C) -> (B, ny, nx, C) like the reference transpose
+        return (jnp.swapaxes(x[..., 0, :], 1, 2),)
+
+
+class NuScenesImVoxelNeck(nn.Module):
+    """NuScenes variant: extra xy-downsample first (reference
+    `imvoxelnet.py:127-160`)."""
+
+    in_channels: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.in_channels
+        x = BasicBlock3d(c, self.dtype, name="block1")(x, train)
+        x = _ConvBnRelu3d(c * 2, stride=(2, 2, 2), dtype=self.dtype,
+                          name="down1")(x, train)
+        x = BasicBlock3d(c * 2, self.dtype, name="block2")(x, train)
+        x = _ConvBnRelu3d(c * 4, dtype=self.dtype, name="down2")(x, train)
+        x = BasicBlock3d(c * 4, self.dtype, name="block3")(x, train)
+        x = _ConvBnRelu3d(self.out_channels, dtype=self.dtype,
+                          name="out")(x, train)
+        assert x.shape[-2] == 1
+        return (jnp.swapaxes(x[..., 0, :], 1, 2),)
 
 
 class FastIndoorImVoxelNeck(nn.Module):

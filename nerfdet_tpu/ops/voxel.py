@@ -157,7 +157,8 @@ def fused_mean_cov(features, points, projection,
                    extra_features: Optional[jnp.ndarray] = None,
                    extra_projection: Optional[jnp.ndarray] = None,
                    image_hw: Optional[Tuple[int, int]] = None,
-                   extra_image_hw: Optional[Tuple[int, int]] = None):
+                   extra_image_hw: Optional[Tuple[int, int]] = None,
+                   axis_name: Optional[str] = None):
     """Streaming multi-view fusion: mean, exp(-var), valid count.
 
     Computes, without materialising the (V, N, C) tensor, exactly the
@@ -180,6 +181,14 @@ def fused_mean_cov(features, points, projection,
             channel axis.
         invalid_fill: (C_total,) contribution of an invalid view (e.g. the
             mapping bias), default zeros.
+
+    Args (cont.):
+        axis_name: when the VIEW axis is sharded over a mesh axis (each
+            device holds V_local views; intra-scene view parallelism,
+            SURVEY §2.4 — an axis the reference lacks), pass that mesh
+            axis name: the streaming sums are ``psum``-reduced across it
+            before normalization, making the result bit-identical to the
+            unsharded fusion.
 
     Returns:
         (mean, cov, count): (N, C_total), (N, C_total), (N,).
@@ -234,6 +243,12 @@ def fused_mean_cov(features, points, projection,
     else:
         xs = (features, x, y, valid, extra_features, xe, ye, valide)
     (s1, s2, count), _ = jax.lax.scan(body, (s1, s2, count), xs)
+
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        count = jax.lax.psum(count, axis_name)
+        v = v * jax.lax.psum(1, axis_name)
 
     denom = count[:, None] + 1e-8
     mean = s1 / denom
