@@ -118,31 +118,163 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in state.items()}
 
 
-def convert_reference_checkpoint(state: Mapping[str, np.ndarray],
-                                 depth: int = 50) -> Dict:
-    """Full reference NeRF-Det state_dict -> partial NerfDet params.
+def _bn_split(state, tkey: str):
+    """Trainable BN -> (params {scale,bias}, stats {mean,var})."""
+    return (
+        dict(scale=_np(state[f"{tkey}.weight"]),
+             bias=_np(state[f"{tkey}.bias"])),
+        dict(mean=_np(state[f"{tkey}.running_mean"]),
+             var=_np(state[f"{tkey}.running_var"])),
+    )
 
-    Returns the subtrees that map 1:1 (backbone, neck); callers merge
-    into an initialized parameter tree. Remaining heads (3D neck, bbox
-    head, NeRF MLP) are added as their mappings land.
+
+def _conv(state, key: str, bias: bool = False) -> Dict:
+    out = dict(kernel=conv_kernel(state[f"{key}.weight"]))
+    if bias or f"{key}.bias" in state:
+        out["bias"] = _np(state[f"{key}.bias"])
+    return out
+
+
+def _linear(state, key: str) -> Dict:
+    out = dict(kernel=dense_kernel(state[f"{key}.weight"]))
+    if f"{key}.bias" in state:
+        out["bias"] = _np(state[f"{key}.bias"])
+    return out
+
+
+def convert_neck3d(state: Mapping[str, np.ndarray],
+                   n_blocks=(1, 1, 1), prefix: str = "neck_3d."):
+    """FastIndoorImVoxelNeck torch layout -> `nn/neck3d.py` trees.
+
+    Reference naming (`necks/imvoxelnet.py:9-67`): ``down_layer_{i}.{b}``
+    BasicBlock3dV2 (conv1/norm1/conv2/norm2 [+downsample.0/.1]),
+    ``up_block_{i}`` Sequential(deconv, BN, relu, conv, BN, relu),
+    ``out_block_{i}`` Sequential(conv, BN, relu).
+
+    Returns (params, batch_stats).
     """
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(len(n_blocks)):
+        for b in range(n_blocks[i]):
+            t = f"{prefix}down_layer_{i}.{b}"
+            p: Dict = {"conv1": _conv(state, f"{t}.conv1"),
+                       "conv2": _conv(state, f"{t}.conv2")}
+            s: Dict = {}
+            p["norm1"], s["norm1"] = _bn_split(state, f"{t}.norm1")
+            p["norm2"], s["norm2"] = _bn_split(state, f"{t}.norm2")
+            if f"{t}.downsample.0.weight" in state:
+                p["downsample_conv"] = _conv(state, f"{t}.downsample.0")
+                p["downsample_norm"], s["downsample_norm"] = _bn_split(
+                    state, f"{t}.downsample.1")
+            params[f"down_{i}_{b}"] = p
+            stats[f"down_{i}_{b}"] = s
+        if i > 0:
+            t = f"{prefix}up_block_{i}"
+            # torch ConvTranspose3d kernel is (in, out, d, h, w); flax
+            # ConvTranspose expects (d, h, w, in, out) with the SPATIAL
+            # DIMS FLIPPED (torch's transposed conv correlates with the
+            # mirrored kernel)
+            w = np.transpose(_np(state[f"{t}.0.weight"]),
+                             (2, 3, 4, 0, 1))[::-1, ::-1, ::-1].copy()
+            p = {"up_conv": dict(kernel=w),
+                 "conv": _conv(state, f"{t}.3")}
+            s = {}
+            p["up_norm"], s["up_norm"] = _bn_split(state, f"{t}.1")
+            p["norm"], s["norm"] = _bn_split(state, f"{t}.4")
+            params[f"up_{i}"] = p
+            stats[f"up_{i}"] = s
+        t = f"{prefix}out_block_{i}"
+        p = {"conv": _conv(state, f"{t}.0")}
+        s = {}
+        p["norm"], s["norm"] = _bn_split(state, f"{t}.1")
+        params[f"out_{i}"] = p
+        stats[f"out_{i}"] = s
+    return params, stats
+
+
+def convert_head(state: Mapping[str, np.ndarray], n_scales: int = 3,
+                 prefix: str = "bbox_head.") -> Dict:
+    """ScanNetImVoxelHeadV2 (`imvoxel_head_v2.py:45-49`)."""
+    return dict(
+        centerness_conv=_conv(state, f"{prefix}centerness_conv"),
+        reg_conv=_conv(state, f"{prefix}reg_conv"),
+        cls_conv=_conv(state, f"{prefix}cls_conv"),
+        scales=np.array([_np(state[f"{prefix}scales.{i}.scale"]).item()
+                         for i in range(n_scales)], np.float32),
+    )
+
+
+def _convert_mlp(state, prefix: str, net_depth: int) -> Dict:
     out: Dict = {}
+    for i in range(net_depth):
+        out[f"hidden_{i}"] = _linear(state, f"{prefix}.hidden_layers.{i}")
+    if f"{prefix}.output_layer.weight" in state:
+        out["output"] = _linear(state, f"{prefix}.output_layer")
+    return out
+
+
+def convert_nerf_mlp(state: Mapping[str, np.ndarray],
+                     prefix: str = "nerf_mlp.",
+                     net_depth: int = 4,
+                     net_depth_condition: int = 1) -> Dict:
+    """VanillaNeRFRadianceField (`nerf_mlp.py:103-234`)."""
+    m = f"{prefix}mlp"
+    return dict(mlp=dict(
+        base=_convert_mlp(state, f"{m}.base", net_depth),
+        sigma_layer=_convert_mlp(state, f"{m}.sigma_layer", 0),
+        bottleneck_layer=_convert_mlp(state, f"{m}.bottleneck_layer", 0),
+        rgb_layer=_convert_mlp(state, f"{m}.rgb_layer",
+                               net_depth_condition),
+    ))
+
+
+def convert_reference_checkpoint(state: Mapping[str, np.ndarray],
+                                 depth: int = 50,
+                                 neck3d_blocks=(1, 1, 1),
+                                 n_scales: int = 3) -> Dict:
+    """Full reference NeRF-Det state_dict -> NerfDet variable trees.
+
+    Returns ``{'params': ..., 'batch_stats': ...}`` covering backbone,
+    FPN, 3D neck, detection head, NeRF MLP and the mean/cov/feature
+    mappings. The reference's dead modules (``cov`` tower, ``mapping_2d``
+    — defined at `nerfdet.py:77-111` but never called in forward) are
+    intentionally dropped.
+    """
+    params: Dict = {}
+    stats: Dict = {}
     if any(k.startswith("backbone.") for k in state):
-        out["backbone"] = convert_torchvision_resnet(
+        params["backbone"] = convert_torchvision_resnet(
             state, depth=depth, prefix="backbone.")
     if any(k.startswith("neck.") for k in state):
-        out["neck"] = convert_mmdet_fpn(state, prefix="neck.")
-    return out
+        params["neck"] = convert_mmdet_fpn(state, prefix="neck.")
+    if any(k.startswith("neck_3d.") for k in state):
+        params["neck_3d"], stats["neck_3d"] = convert_neck3d(
+            state, n_blocks=neck3d_blocks)
+    if any(k.startswith("bbox_head.") for k in state):
+        params["bbox_head"] = convert_head(state, n_scales=n_scales)
+    if any(k.startswith("nerf_mlp.") for k in state):
+        params["nerf_mlp"] = convert_nerf_mlp(state)
+    if "mean_mapping.0.weight" in state:
+        params["mean_mapping"] = _conv(state, "mean_mapping.0", bias=True)
+    if "cov_mapping.0.weight" in state:
+        params["cov_mapping"] = _conv(state, "cov_mapping.0", bias=True)
+    if "mapping.0.weight" in state:
+        params["mapping"] = _linear(state, "mapping.0")
+    return dict(params=params, batch_stats=stats)
 
 
 def merge_params(init_params: Dict, converted: Dict) -> Dict:
     """Recursively overlay converted subtrees onto an init tree,
-    asserting shape agreement."""
+    asserting shape agreement. Subtrees absent from the init tree (e.g.
+    modules flax never initialized because the config path skips them)
+    are inserted wholesale."""
     out = dict(init_params)
     for k, v in converted.items():
-        if isinstance(v, Mapping) and k in out and isinstance(
-                out[k], Mapping):
-            out[k] = merge_params(out[k], v)
+        if isinstance(v, Mapping):
+            base = out.get(k, {})
+            out[k] = merge_params(base if isinstance(base, Mapping) else {},
+                                  v)
         else:
             old = np.asarray(out[k]) if k in out else None
             new = np.asarray(v)
