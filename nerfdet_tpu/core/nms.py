@@ -54,6 +54,130 @@ def aligned_3d_nms(boxes, scores, classes, thresh: float):
     return np.asarray(pick, np.int64)
 
 
+def nms_bev_rotated(boxes_bev, scores, thresh: float):
+    """Greedy rotated-BEV NMS on (N, 5) ``(cx, cy, dx, dy, yaw)`` boxes
+    (reference iou3d ``nms_gpu``). Native C++ path when available."""
+    boxes_bev = np.asarray(boxes_bev, np.float32)
+    scores = np.asarray(scores, np.float32)
+    boxes7 = np.zeros((boxes_bev.shape[0], 7), np.float32)
+    boxes7[:, [0, 1, 3, 4, 6]] = boxes_bev
+    boxes7[:, 5] = 1.0
+    from ..ops import native
+
+    keep = native.nms_rotated_bev(boxes7, scores, thresh)
+    if keep is not None:
+        return keep
+    from ..ops.rotated_iou import rotated_bev_overlap
+
+    order = np.argsort(-scores)
+    pick = []
+    suppressed = np.zeros(len(scores), bool)
+    areas = boxes_bev[:, 2] * boxes_bev[:, 3]
+    for pos, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        pick.append(int(i))
+        rest = order[pos + 1:]
+        rest = rest[~suppressed[rest]]
+        if rest.size:
+            inter = np.asarray(
+                rotated_bev_overlap(boxes7[i:i + 1], boxes7[rest]))[0]
+            iou = inter / np.clip(areas[i] + areas[rest] - inter,
+                                  1e-8, None)
+            suppressed[rest[iou > thresh]] = True
+    return np.asarray(pick, np.int64)
+
+
+def nms_bev_normal(boxes_bev, scores, thresh: float):
+    """Axis-aligned BEV NMS ignoring yaw (reference ``nms_normal_gpu``)."""
+    b = np.asarray(boxes_bev, np.float32)
+    scores = np.asarray(scores, np.float32)
+    x1 = b[:, 0] - b[:, 2] / 2
+    y1 = b[:, 1] - b[:, 3] / 2
+    x2 = b[:, 0] + b[:, 2] / 2
+    y2 = b[:, 1] + b[:, 3] / 2
+    areas = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-scores)
+    pick = []
+    while order.size:
+        i = order[0]
+        pick.append(int(i))
+        rest = order[1:]
+        w = np.clip(np.minimum(x2[i], x2[rest])
+                    - np.maximum(x1[i], x1[rest]), 0, None)
+        h = np.clip(np.minimum(y2[i], y2[rest])
+                    - np.maximum(y1[i], y1[rest]), 0, None)
+        iou = w * h / np.clip(areas[i] + areas[rest] - w * h, 1e-8, None)
+        order = rest[iou <= thresh]
+    return np.asarray(pick, np.int64)
+
+
+def box3d_multiclass_nms(mlvl_bboxes, mlvl_bboxes_for_nms, mlvl_scores,
+                         score_thr: float, max_num: int,
+                         use_rotate_nms: bool = True,
+                         nms_thr: float = 0.01,
+                         mlvl_dir_scores=None):
+    """Per-class rotated/normal BEV NMS for outdoor heads
+    (reference `box3d_nms.py:8-88`). ``mlvl_scores``: (N, C+1) with the
+    background column last; boxes_for_nms: (N, 5) BEV boxes."""
+    mlvl_bboxes = np.asarray(mlvl_bboxes)
+    mlvl_scores = np.asarray(mlvl_scores)
+    num_classes = mlvl_scores.shape[1] - 1
+    nms_fn = nms_bev_rotated if use_rotate_nms else nms_bev_normal
+    bboxes, scores, labels, dir_scores = [], [], [], []
+    for c in range(num_classes):
+        cls_inds = mlvl_scores[:, c] > score_thr
+        if not cls_inds.any():
+            continue
+        _scores = mlvl_scores[cls_inds, c]
+        sel = nms_fn(mlvl_bboxes_for_nms[cls_inds], _scores, nms_thr)
+        bboxes.append(mlvl_bboxes[cls_inds][sel])
+        scores.append(_scores[sel])
+        labels.append(np.full(len(sel), c, np.int64))
+        if mlvl_dir_scores is not None:
+            dir_scores.append(np.asarray(mlvl_dir_scores)[cls_inds][sel])
+    if bboxes:
+        bboxes = np.concatenate(bboxes)
+        scores = np.concatenate(scores)
+        labels = np.concatenate(labels)
+        dir_scores = (np.concatenate(dir_scores)
+                      if mlvl_dir_scores is not None else None)
+        if bboxes.shape[0] > max_num:
+            order = np.argsort(-scores)[:max_num]
+            bboxes, scores, labels = (bboxes[order], scores[order],
+                                      labels[order])
+            if dir_scores is not None:
+                dir_scores = dir_scores[order]
+    else:
+        bboxes = np.zeros((0, mlvl_bboxes.shape[-1]), np.float32)
+        scores = np.zeros((0,), np.float32)
+        labels = np.zeros((0,), np.int64)
+        dir_scores = (np.zeros((0,), np.float32)
+                      if mlvl_dir_scores is not None else None)
+    if mlvl_dir_scores is not None:
+        return bboxes, scores, labels, dir_scores
+    return bboxes, scores, labels
+
+
+def circle_nms(boxes_xyr, thresh: float):
+    """Center-distance NMS (reference `box3d_nms.py:141-181`, numba).
+
+    ``boxes_xyr``: (N, 3) = (x, y, score-sorted order assumed NOT
+    required — boxes must be pre-sorted by score descending).
+    """
+    b = np.asarray(boxes_xyr, np.float32)
+    n = b.shape[0]
+    suppressed = np.zeros(n, bool)
+    keep = []
+    for i in range(n):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        d = (b[i + 1:, 0] - b[i, 0]) ** 2 + (b[i + 1:, 1] - b[i, 1]) ** 2
+        suppressed[i + 1:] |= d <= thresh
+    return np.asarray(keep, np.int64)
+
+
 def aligned_3d_nms_fixed(boxes, scores, classes, thresh: float,
                          max_out: int, valid_mask=None):
     """Fixed-size greedy NMS, jit/pjit-safe (static shapes only).

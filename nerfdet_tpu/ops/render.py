@@ -166,6 +166,41 @@ def volume_sampling(pts, volume, aabb):
     return feats, inbound
 
 
+def sample_pdf(bins, weights, n_samples: int, det: bool = False,
+               key: Optional[jax.Array] = None):
+    """Hierarchical importance sampling along rays.
+
+    Exact port of `render_ray.py:96-142` (used when N_importance > 0;
+    the shipped configs keep it at 0 but the capability is part of the
+    renderer surface). ``bins``: (R, M+1) depth-bin edges; ``weights``:
+    (R, M). Returns (R, n_samples) depths.
+    """
+    r, m = weights.shape
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_samples), (r, n_samples))
+    else:
+        u = jax.random.uniform(key, (r, n_samples))
+
+    above = jnp.sum(
+        (u[:, :, None] >= cdf[:, None, :-1]).astype(jnp.int32), axis=-1)
+    below = jnp.clip(above - 1, 0, None)
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
 def raw2outputs(raw, z_vals, mask, white_bkgd: bool = False):
     """Alpha compositing (reference `render_ray.py:196-247`)."""
     rgb = raw[:, :, :3]
