@@ -59,6 +59,17 @@ def _build_nerfdet(cfg: dict, meta: SceneMeta = None,
     )
 
 
+@register_model("imvoxelnet")
+def _build_imvoxelnet(cfg: dict, meta: SceneMeta = None,
+                      compute_dtype=jnp.float32) -> NerfDet:
+    """ImVoxelNet = the same volume detector without the NeRF branch
+    (the reference derives NeRF-Det from SamsungLabs/ImVoxelNet;
+    `README.md:54-57`). Rays/density are disabled."""
+    cfg = dict(cfg, nerf_density=False)
+    model = _build_nerfdet(cfg, meta=meta, compute_dtype=compute_dtype)
+    return model
+
+
 def build_model(model_cfg: dict, meta: SceneMeta = None,
                 compute_dtype=jnp.float32):
     """Construct a model module from a config ``model`` dict."""

@@ -42,6 +42,9 @@ def parse_args():
                    help="debug: cap total steps")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps "
+                        "starting at step 10 (written to work_dir/trace)")
     p.add_argument("--options", nargs="+", default=[],
                    help="config overrides key=value")
     return p.parse_args()
@@ -161,8 +164,19 @@ def main():
         for epoch in range(start_epoch, total_epochs):
             for it, batch in enumerate(loader):
                 step_rng, sub = jax.random.split(step_rng)
+                gstep_pre = int(state.step)
+                if args.profile_steps and gstep_pre == 10:
+                    jax.profiler.start_trace(
+                        os.path.join(work_dir, "trace"))
                 state, metrics = train_step(
                     state, shard_batch(batch, mesh), sub)
+                if (args.profile_steps
+                        and gstep_pre == 10 + args.profile_steps):
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to "
+                                f"{work_dir}/trace")
                 gstep = int(epoch * steps_per_epoch + it)
                 mlog.update(gstep, epoch + 1,
                             jax.device_get(metrics),
