@@ -24,7 +24,10 @@ def tiny_model(**kw):
         n_voxels=(8, 8, 4),
         voxel_size=(0.8, 0.8, 0.8),
         aabb=((-3.2, -3.2, -1.1), (3.2, 3.2, 2.1)),
-        n_samples=8,
+        # >= 9 samples: the ray mask needs >8 valid samples per ray
+        # (`raw2outputs`), so n_samples=8 would make the NVS loss
+        # identically zero
+        n_samples=16,
         n_rand=32,
         nerf_density=True,
         meta=SceneMeta(ori_shape=(128, 160), img_shape=(31, 40),
@@ -72,6 +75,8 @@ def test_train_step_runs_and_updates(model_and_state):
     for k in ("loss", "loss_cls", "loss_bbox", "loss_centerness",
               "loss_nvs", "loss_depth"):
         assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    # the NVS branch must actually be live (non-vacuous ray mask)
+    assert float(metrics["loss_nvs"]) > 0
     assert int(new_state.step) == 1
 
     # frozen backbone params identical; a trainable head param changed
