@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--nvs", action="store_true",
+                   help="benchmark NeRF rendering rays/sec instead of "
+                        "detection scenes/sec")
+    p.add_argument("--rays", type=int, default=16384,
+                   help="rays per NVS iteration")
     return p.parse_args()
 
 
@@ -53,34 +58,69 @@ def main():
     batch = {k: jnp.asarray(scene[k]) for k in
              ("imgs", "denorm_images", "intrinsic", "extrinsics",
               "origin")}
+    init_batch = dict(batch,
+                      ray_o=jnp.asarray(scene["ray_o"][:64]),
+                      ray_d=jnp.asarray(scene["ray_d"][:64]))
     params = jax.jit(
-        lambda k: model.init(k, batch, train=False, with_rays=True))(
+        lambda k: model.init(k, init_batch, train=False, with_rays=True))(
         jax.random.PRNGKey(0))
 
-    def infer(variables, b):
-        head_outs, valid, _ = model.apply(
-            variables, b, train=False, with_rays=True)
-        mlvl = model.mlvl_points(b["origin"])
-        return get_candidate_bboxes(
-            head_outs, valid, mlvl, cfg.test_cfg["nms_pre"],
-            model.n_classes)
+    if args.nvs:
+        from nerfdet_tpu.models.nerfdet import NerfDet
+
+        n_rand = cfg.model.get("N_rand", 2048)
+        rng = jax.random.PRNGKey(1)
+        ray_o = jnp.broadcast_to(
+            jnp.asarray(scene["ray_o"][:1]), (args.rays, 3))
+        dirs = jax.random.normal(rng, (args.rays, 3))
+        ray_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        nvs_batch = dict(batch, ray_o=ray_o, ray_d=ray_d)
+
+        def infer(variables, b):
+            return model.apply(variables, b, n_rand,
+                               method=NerfDet.render_full)
+
+        batch = nvs_batch
+    else:
+        def infer(variables, b):
+            head_outs, valid, _ = model.apply(
+                variables, b, train=False, with_rays=True)
+            mlvl = model.mlvl_points(b["origin"])
+            return get_candidate_bboxes(
+                head_outs, valid, mlvl, cfg.test_cfg["nms_pre"],
+                model.n_classes)
 
     step = jax.jit(infer)
     t0 = time.perf_counter()
     jax.block_until_ready(step(params, batch))
     print(f"compile: {time.perf_counter() - t0:.1f}s")
 
-    for _ in range(args.warmup):
-        jax.block_until_ready(step(params, batch))
+    # vary an input per iteration and fetch once at the end: on remote
+    # TPU backends block_until_ready can return early and identical
+    # inputs risk dedup (see PERF.md / bench.py methodology)
+    vary = jax.jit(lambda x, e: x + e)
+    variants = [vary(batch["origin"], jnp.float32(i) * 1e-4)
+                for i in range(args.warmup + args.iters)]
+    jax.device_get(variants[-1])
+    for i in range(args.warmup):
+        jax.device_get(jax.tree_util.tree_leaves(
+            step(params, dict(batch, origin=variants[i])))[0].ravel()[:1])
     t0 = time.perf_counter()
     out = None
-    for _ in range(args.iters):
-        out = step(params, batch)
-    jax.block_until_ready(out)
+    for i in range(args.iters):
+        out = step(params,
+                   dict(batch, origin=variants[args.warmup + i]))
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
     dt = time.perf_counter() - t0
-    print(f"{args.iters / dt:.3f} scenes/sec "
-          f"({dt / args.iters * 1e3:.1f} ms/scene, V={args.views}, "
-          f"{jax.devices()[0].platform})")
+    if args.nvs:
+        rays_per_sec = args.iters * args.rays / dt
+        print(f"{rays_per_sec:,.0f} rays/sec "
+              f"({dt / args.iters * 1e3:.1f} ms per {args.rays} rays, "
+              f"V={args.views}, {jax.devices()[0].platform})")
+    else:
+        print(f"{args.iters / dt:.3f} scenes/sec "
+              f"({dt / args.iters * 1e3:.1f} ms/scene, V={args.views}, "
+              f"{jax.devices()[0].platform})")
 
 
 if __name__ == "__main__":

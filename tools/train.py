@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps "
                         "starting at step 10 (written to work_dir/trace)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params/optimizer stay f32; "
+                        "the mixed-precision analog of the reference's "
+                        "opt-in fp16 mode)")
     p.add_argument("--options", nargs="+", default=[],
                    help="config overrides key=value")
     return p.parse_args()
@@ -103,7 +107,9 @@ def main():
 
     # ---- model & optimizer -------------------------------------------
     meta = scene_meta_from_config(cfg)
-    model = build_model(cfg.model, meta=meta)
+    model = build_model(
+        cfg.model, meta=meta,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     sample_scene = dataset[0]
     rng = jax.random.PRNGKey(args.seed)
     init_scene = {k: jnp.asarray(v) for k, v in sample_scene.items()}
