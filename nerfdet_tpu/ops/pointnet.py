@@ -1,0 +1,132 @@
+"""PointNet++ point ops (pure JAX, static shapes, MXU-friendly).
+
+TPU-native equivalents of the reference's CUDA point ops (SURVEY §2.3):
+
+* :func:`furthest_point_sample` — `mmdet3d/ops/furthest_point_sample/
+  src/furthest_point_sample_cuda.cu` (iterative FPS).
+* :func:`ball_query` — `mmdet3d/ops/ball_query/src/ball_query_cuda.cu`
+  (first-K neighbors within a radius, degenerate duplication of the
+  first hit, exactly the CUDA kernel's fill behavior).
+* :func:`gather_points` / :func:`group_points` — gather & query-and-
+  group used by PointNet++ set abstraction.
+* :func:`three_nn` / :func:`three_interpolate` — feature propagation.
+
+The CUDA kernels thread over points; here everything is a dense
+(N, M) distance matrix + masked reductions, which XLA tiles onto the
+MXU/VPU — the right trade for indoor point budgets (<= ~50k points).
+All functions take a single cloud; ``jax.vmap`` adds the batch axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(a, b):
+    """(N, 3) x (M, 3) -> (N, M) squared euclidean distances."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    cross = a @ b.T
+    return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def furthest_point_sample(points, n_samples: int):
+    """Iterative farthest-point sampling. Returns (n_samples,) int32
+    indices; starts from index 0 like the CUDA kernel."""
+    n = points.shape[0]
+
+    def body(i, state):
+        idx, min_dist, last = state
+        d = jnp.sum((points - points[last]) ** 2, axis=-1)
+        min_dist = jnp.minimum(min_dist, d)
+        nxt = jnp.argmax(min_dist).astype(jnp.int32)
+        idx = idx.at[i].set(nxt)
+        return idx, min_dist, nxt
+
+    idx0 = jnp.zeros((n_samples,), jnp.int32)
+    min_dist = jnp.full((n,), jnp.inf, jnp.float32)
+    idx, _, _ = jax.lax.fori_loop(1, n_samples, body,
+                                  (idx0, min_dist, jnp.int32(0)))
+    return idx
+
+
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def ball_query(centers, points, radius: float, n_neighbors: int):
+    """First ``n_neighbors`` points within ``radius`` of each center.
+
+    Returns (n_centers, n_neighbors) int32 indices. Matches the CUDA
+    kernel: slots beyond the found neighbors repeat the FIRST found
+    index; centers with no neighbor get all-zero indices.
+    """
+    d2 = square_distance(centers, points)  # (C, N)
+    within = d2 < radius * radius
+    n = points.shape[0]
+    # stable sort by (not within, index): within points first, in scan
+    # order — their leading K entries are exactly the CUDA kernel's hits
+    key = jnp.where(within, 0, 1) * n + jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (C, N)
+    if n_neighbors > n:  # degenerate: fewer points than slots
+        order = jnp.pad(order, ((0, 0), (0, n_neighbors - n)))
+    take = order[:, :n_neighbors]
+    n_found = within.sum(axis=1)
+    slots = jnp.arange(n_neighbors, dtype=jnp.int32)
+    valid = slots[None, :] < n_found[:, None]
+    first = take[:, :1]
+    # no neighbors at all -> zeros (CUDA kernel leaves the buffer zeroed)
+    fallback = jnp.where(n_found[:, None] > 0, first, 0)
+    return jnp.where(valid, take, fallback)
+
+
+@jax.jit
+def gather_points(features, indices):
+    """(C_or_N, ...) gather along the first axis — the reference's
+    gather_points on (N, C) layouts."""
+    return jnp.take(features, indices, axis=0)
+
+
+def group_points(points, features, centers_idx, group_idx,
+                 use_xyz: bool = True):
+    """Query-and-group (reference `mmdet3d/ops/group_points`).
+
+    Args:
+        points: (N, 3); features: (N, C) or None.
+        centers_idx: (S,) FPS indices; group_idx: (S, K) ball-query.
+
+    Returns (S, K, 3[+C]) grouped local-offset xyz (+features).
+    """
+    centers = points[centers_idx]  # (S, 3)
+    grouped_xyz = points[group_idx] - centers[:, None, :]
+    if features is None:
+        return grouped_xyz
+    grouped_feat = features[group_idx]
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    return grouped_feat
+
+
+@jax.jit
+def three_nn(unknown, known):
+    """3 nearest neighbors: returns ((U, 3) distances, (U, 3) indices)
+    (reference `mmdet3d/ops/interpolate/three_nn`)."""
+    d2 = square_distance(unknown, known)
+    neg_d, idx = jax.lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), idx.astype(jnp.int32)
+
+
+@jax.jit
+def three_interpolate(features, indices, weights):
+    """Weighted sum of 3 neighbor features: (K, C), (U, 3), (U, 3)
+    -> (U, C) (reference `three_interpolate`)."""
+    gathered = features[indices]  # (U, 3, C)
+    return jnp.sum(gathered * weights[..., None], axis=1)
+
+
+def interpolation_weights(dist, eps: float = 1e-8):
+    """Inverse-distance weights used by PointNet++ FP modules."""
+    recip = 1.0 / jnp.maximum(dist * dist, eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
