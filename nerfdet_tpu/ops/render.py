@@ -127,6 +127,64 @@ def projector_compute(pts, images, intrinsics, poses, img_hw,
     return rgb, mask
 
 
+def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
+                              featmaps=None):
+    """Fused per-view sampling + masked mean / exp(-var) over views.
+
+    Numerically identical to ``projector_compute`` +
+    ``compute_mask_points`` but streams over views with a ``lax.scan``,
+    never materializing the (R, S, V, C) tensor — the renderer's HBM
+    bottleneck (PERF.md). Returns (globalfeat (R, S, 2C),
+    pixel_mask (R, S) = count > 1).
+    """
+    h, w = img_hw
+    pixels, in_front = project_to_views(pts, intrinsics, poses)
+    px, py = pixels[..., 0], pixels[..., 1]
+    ih, iw = images.shape[1:3]
+    sx = (iw - 1.0) / (w - 1.0)
+    sy = (ih - 1.0) / (h - 1.0)
+    if featmaps is not None:
+        fh, fw = featmaps.shape[1:3]
+        fx_s = (fw - 1.0) / (w - 1.0)
+        fy_s = (fh - 1.0) / (h - 1.0)
+    inbound = (px <= w - 1.0) & (px >= 0) & (py <= h - 1.0) & (py >= 0)
+    mask_all = (inbound & in_front)  # (V, R, S)
+
+    r, s = pts.shape[:2]
+    c = 3 + (featmaps.shape[-1] if featmaps is not None else 0)
+
+    def body(carry, view):
+        s1u, s2u, s1m, cnt = carry
+        if featmaps is not None:
+            img_v, fm_v, px_v, py_v, m_v = view
+        else:
+            img_v, px_v, py_v, m_v = view
+        f = grid_sample_2d(img_v, px_v * sx, py_v * sy, padding="zeros")
+        if featmaps is not None:
+            ff = grid_sample_2d(fm_v, px_v * fx_s, py_v * fy_s,
+                                padding="zeros")
+            f = jnp.concatenate([f, ff], axis=-1)
+        f = f.astype(jnp.float32)
+        m = m_v.astype(jnp.float32)[..., None]
+        return (s1u + f, s2u + f * f, s1m + f * m, cnt + m), None
+
+    init = (jnp.zeros((r, s, c), jnp.float32),
+            jnp.zeros((r, s, c), jnp.float32),
+            jnp.zeros((r, s, c), jnp.float32),
+            jnp.zeros((r, s, 1), jnp.float32))
+    xs = ((images, featmaps, px, py, mask_all) if featmaps is not None
+          else (images, px, py, mask_all))
+    (s1u, s2u, s1m, cnt), _ = jax.lax.scan(body, init, xs)
+
+    v = images.shape[0]
+    mean = s1m / (cnt + 1e-8)
+    # reference variance: sum over ALL views of (f - mean)^2 / count
+    var = (s2u - 2.0 * mean * s1u + v * mean * mean) / (cnt + 1e-8)
+    globalfeat = jnp.concatenate([mean, jnp.exp(-var)], axis=-1)
+    pixel_mask = cnt[..., 0] > 1
+    return globalfeat, pixel_mask
+
+
 def compute_mask_points(feature, mask):
     """Masked mean / exp(-var) over views (reference `render_ray.py:71-93`).
 
@@ -262,12 +320,11 @@ def render_rays_chunk(
     )
 
     if mode == "image":
-        rgb_feat, mask = projector_compute(
+        # streaming over views: same math as projector_compute +
+        # compute_mask_points without the (R, S, V, C) intermediate
+        globalfeat, pixel_mask = streaming_sample_mean_var(
             pts, images, intrinsics, poses, img_hw, featmaps=featmaps
         )
-        pixel_mask = mask[..., 0].sum(axis=2) > 1  # >= 2 observations
-        mean, var = compute_mask_points(rgb_feat, mask)
-        globalfeat = jnp.concatenate([mean, var], axis=-1)[:, :, 0]
         rgb_pts, density_pts = mlp_fn(pts, ray_d, globalfeat)
     elif mode == "volume":
         mean_pts, inbound = volume_sampling(pts, mean_volume, aabb)
