@@ -108,6 +108,45 @@ def get_dtu_raydir(pixelcoords, intrinsic, rot, dir_norm: bool = False):
 # the multi-view pipeline
 # ----------------------------------------------------------------------
 
+def load_points(path: str, load_dim: int = 6,
+                use_dims: Sequence[int] = (0, 1, 2),
+                shift_height: bool = True) -> np.ndarray:
+    """Read a points ``.bin`` (reference ``LoadPointsFromFile`` with the
+    indoor defaults, `_base_` scannet pipelines): select dims, optionally
+    append height above the 0.99-percentile floor."""
+    pts = np.fromfile(path, np.float32).reshape(-1, load_dim)
+    out = pts[:, list(use_dims)]
+    if shift_height:
+        floor = np.percentile(out[:, 2], 0.99)
+        out = np.concatenate(
+            [out, (out[:, 2] - floor)[:, None]], axis=-1)
+    return out.astype(np.float32)
+
+
+def global_alignment(points: np.ndarray, axis_align: np.ndarray
+                     ) -> np.ndarray:
+    """Apply the scene's axis-align matrix to xyz (reference
+    ``GlobalAlignment``, `multi_view.py:292-367`)."""
+    pts = points.copy()
+    xyz1 = np.concatenate(
+        [pts[:, :3], np.ones_like(pts[:, :1])], axis=-1)
+    pts[:, :3] = (xyz1 @ np.asarray(axis_align, np.float32).T)[:, :3]
+    return pts
+
+
+def sample_points(points: np.ndarray, n_points: int,
+                  rng: np.random.RandomState) -> np.ndarray:
+    """Random subsample/pad to a static point count (the reference's
+    PointSample transform; padding repeats points)."""
+    n = points.shape[0]
+    if n >= n_points:
+        sel = rng.choice(n, n_points, replace=False)
+    else:
+        sel = np.concatenate(
+            [np.arange(n), rng.choice(n, n_points - n, replace=True)])
+    return points[sel]
+
+
 class MultiViewPipeline:
     """Sample views, load + transform images, generate target-view rays.
 

@@ -127,6 +127,35 @@ def projector_compute(pts, images, intrinsics, poses, img_hw,
     return rgb, mask
 
 
+def compute_angle(xyz, query_pose, train_poses):
+    """Per-(point, view) ray-direction difference features.
+
+    Port of `projection.py:66-89` (IBRNet-style view-direction
+    conditioning; defined on the reference Projector but unused by the
+    shipped configs). Returns (V, ..., 4): unit difference vector of the
+    query/source ray directions + their dot product.
+
+    Args:
+        xyz: (..., 3) sample points.
+        query_pose: (4, 4) query camera-to-world.
+        train_poses: (V, 4, 4) source camera-to-world.
+    """
+    shape = xyz.shape[:-1]
+    pts = xyz.reshape(-1, 3)
+    to_query = query_pose[:3, 3][None, None] - pts[None]
+    to_query = to_query / (
+        jnp.linalg.norm(to_query, axis=-1, keepdims=True) + 1e-6)
+    to_train = train_poses[:, :3, 3][:, None] - pts[None]
+    to_train = to_train / (
+        jnp.linalg.norm(to_train, axis=-1, keepdims=True) + 1e-6)
+    diff = to_query - to_train
+    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    dot = jnp.sum(to_query * to_train, axis=-1, keepdims=True)
+    direction = diff / jnp.clip(norm, 1e-6, None)
+    out = jnp.concatenate([direction, dot], axis=-1)
+    return out.reshape((train_poses.shape[0],) + shape + (4,))
+
+
 def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
                               featmaps=None):
     """Fused per-view sampling + masked mean / exp(-var) over views.
