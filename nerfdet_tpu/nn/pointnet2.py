@@ -1,0 +1,139 @@
+"""PointNet++ backbone (single-scale grouping) in flax.
+
+Equivalent of the reference's `mmdet3d/models/backbones/
+pointnet2_sa_ssg.py` + the PointSAModule/PointFPModule it composes
+(external mmdet3d ops): set-abstraction levels (FPS -> ball query ->
+grouped shared-MLP -> max pool) and feature-propagation levels
+(three_nn inverse-distance interpolation -> shared MLP), built on the
+dense point ops in `ops/pointnet.py`. One cloud per call; ``jax.vmap``
+batches.
+
+Defaults mirror the VoteNet ScanNet config (num_points 2048/1024/512/
+256, radii .2/.4/.8/1.2, samples 64/32/16/16, the standard sa/fp
+channel stacks).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pointnet import (ball_query, furthest_point_sample,
+                            group_points, interpolation_weights,
+                            three_interpolate, three_nn)
+
+
+class SharedMLP(nn.Module):
+    """Per-point MLP (1x1 conv stack) with BN, applied to (..., C)."""
+
+    channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, c in enumerate(self.channels):
+            x = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                         name=f"fc{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"bn{i}",
+                             axis_name=None)(x)
+            x = nn.relu(x)
+        return x
+
+
+class PointSAModule(nn.Module):
+    """Set abstraction: FPS + ball-query grouping + MLP + max pool."""
+
+    num_point: int
+    radius: float
+    num_sample: int
+    mlp_channels: Sequence[int]
+    use_xyz: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool = False):
+        """(N, 3), (N, C) or None -> ((S, 3), (S, C'), (S,) fps idx)."""
+        fps_idx = furthest_point_sample(xyz, self.num_point)
+        new_xyz = xyz[fps_idx]
+        group_idx = ball_query(new_xyz, xyz, self.radius, self.num_sample)
+        grouped = group_points(xyz, features, fps_idx, group_idx,
+                               use_xyz=self.use_xyz)  # (S, K, 3+C)
+        out = SharedMLP(self.mlp_channels, self.dtype,
+                        name="mlp")(grouped, train)
+        return new_xyz, out.max(axis=1), fps_idx
+
+
+class PointFPModule(nn.Module):
+    """Feature propagation: 3-NN interpolate + MLP."""
+
+    mlp_channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, target_xyz, source_xyz, target_feats, source_feats,
+                 train: bool = False):
+        dist, idx = three_nn(target_xyz, source_xyz)
+        w = interpolation_weights(dist)
+        interp = three_interpolate(source_feats, idx, w)
+        if target_feats is not None:
+            interp = jnp.concatenate([interp, target_feats], axis=-1)
+        return SharedMLP(self.mlp_channels, self.dtype,
+                         name="mlp")(interp, train)
+
+
+class PointNet2SASSG(nn.Module):
+    """4-level SA + FP backbone (VoteNet's ScanNet configuration)."""
+
+    in_channels: int = 4
+    num_points: Sequence[int] = (2048, 1024, 512, 256)
+    radii: Sequence[float] = (0.2, 0.4, 0.8, 1.2)
+    num_samples: Sequence[int] = (64, 32, 16, 16)
+    sa_channels: Sequence[Sequence[int]] = (
+        (64, 64, 128), (128, 128, 256), (128, 128, 256),
+        (128, 128, 256))
+    fp_channels: Sequence[Sequence[int]] = ((256, 256), (256, 256))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        """points: (N, 3 + in_channels - 3) xyz + extra features.
+
+        Returns dict(fp_xyz, fp_features, fp_indices) like the
+        reference backbone (finest level last).
+        """
+        xyz = points[:, :3]
+        feats = points[:, 3:] if points.shape[-1] > 3 else None
+
+        sa_xyz, sa_feats, sa_idx = [xyz], [feats], [None]
+        for i in range(len(self.num_points)):
+            new_xyz, new_f, idx = PointSAModule(
+                self.num_points[i], self.radii[i], self.num_samples[i],
+                self.sa_channels[i], dtype=self.dtype,
+                name=f"sa{i}")(sa_xyz[-1], sa_feats[-1], train)
+            sa_xyz.append(new_xyz)
+            sa_feats.append(new_f)
+            sa_idx.append(idx)
+
+        fp_xyz = [sa_xyz[-1]]
+        fp_feats = [sa_feats[-1]]
+        n_sa = len(self.num_points)
+        for i in range(len(self.fp_channels)):
+            tgt = n_sa - i - 1
+            f = PointFPModule(self.fp_channels[i], dtype=self.dtype,
+                              name=f"fp{i}")(
+                sa_xyz[tgt], sa_xyz[tgt + 1], sa_feats[tgt],
+                fp_feats[-1], train)
+            fp_xyz.append(sa_xyz[tgt])
+            fp_feats.append(f)
+
+        # indices of the final fp level's points in the input cloud
+        idx_chain = sa_idx[1]
+        for i in range(2, n_sa - len(self.fp_channels) + 1):
+            idx_chain = idx_chain[sa_idx[i]]
+        return dict(fp_xyz=fp_xyz, fp_features=fp_feats,
+                    fp_indices=idx_chain)

@@ -1,0 +1,40 @@
+"""Config-build smoke sweep (reference `tests/test_config.py:19-60`):
+every shipped config must load and construct its model."""
+
+import glob
+import os
+
+import pytest
+
+CONFIGS = sorted(glob.glob(os.path.join(
+    os.path.dirname(__file__), "..", "configs", "**", "*.py"),
+    recursive=True))
+CONFIGS = [c for c in CONFIGS if not os.path.basename(c).startswith("_")]
+
+
+def test_configs_found():
+    assert len(CONFIGS) >= 6
+
+
+@pytest.mark.parametrize("path", CONFIGS,
+                         ids=[os.path.basename(c) for c in CONFIGS])
+def test_config_builds_model(path):
+    from nerfdet_tpu.api import scene_meta_from_config
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.builder import build_model
+
+    cfg = Config.fromfile(path)
+    assert "model" in cfg and "data" in cfg and "optimizer" in cfg
+    meta = scene_meta_from_config(cfg)
+    model = build_model(cfg.model, meta=meta)
+    assert model.n_classes == len(cfg.class_names)
+    # pipeline geometry is consistent
+    assert meta.pad_shape[0] >= meta.img_shape[0]
+    assert meta.pad_shape[1] >= meta.img_shape[1]
+    # the low-res nerfdet configs keep the reference's exact values
+    if "nerfdet_res50_2x_low_res" in path:
+        assert cfg.model["n_voxels"] == (40, 40, 16)
+        assert cfg.model["N_rand"] == 2048
+        assert cfg.optimizer["lr"] == 2e-4
+        assert cfg.optimizer["paramwise_cfg"]["custom_keys"][
+            "backbone"]["lr_mult"] == 0.1
