@@ -1,0 +1,162 @@
+"""Point-cloud voxelization + dynamic scatter (pure JAX, static shapes).
+
+TPU-native equivalents of the reference's CUDA voxelization ops
+(`mmdet3d/ops/voxel/src/voxelization*.{cpp,cu}`, `scatter_points*`,
+SURVEY §2.3):
+
+* :func:`voxelize_hard` — "hard" voxelization: up to ``max_voxels``
+  voxels with up to ``max_points`` points each, first-come order like
+  the CUDA kernel (excess points/voxels dropped).
+* :func:`voxelize_dynamic` — per-point integer voxel coordinates (-1
+  outside the range).
+* :func:`dynamic_scatter` — mean/max-reduce point features into their
+  voxels (the DynamicScatter op backing dynamic voxel encoders).
+
+Dynamic result counts become static ``max_*`` capacities + validity
+masks/counts, the standard TPU formulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _coords_and_valid(points, voxel_size, pc_range):
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    lo = jnp.asarray(pc_range[:3], jnp.float32)
+    hi = jnp.asarray(pc_range[3:], jnp.float32)
+    grid = jnp.floor((hi - lo) / vs + 0.5).astype(jnp.int32)
+    coords = jnp.floor((points[:, :3] - lo) / vs).astype(jnp.int32)
+    valid = jnp.all((coords >= 0) & (coords < grid), axis=-1)
+    return coords, valid, grid
+
+
+@partial(jax.jit, static_argnames=("max_voxels", "max_points"))
+def voxelize_hard(points, voxel_size, pc_range, max_voxels: int,
+                  max_points: int):
+    """Args:
+        points: (N, C) with xyz leading.
+        voxel_size: (3,); pc_range: (6,) = (x0, y0, z0, x1, y1, z1).
+
+    Returns:
+        voxels (max_voxels, max_points, C) zero-padded,
+        coords (max_voxels, 3) int32 (z, y, x order like the reference,
+            -1 for empty voxel slots),
+        num_points (max_voxels,) int32,
+        n_voxels () int32.
+    """
+    n, c = points.shape
+    coords, valid, grid = _coords_and_valid(points, voxel_size, pc_range)
+    key = ((coords[:, 2] * grid[1] + coords[:, 1]) * grid[0]
+           + coords[:, 0])
+    big = grid[0] * grid[1] * grid[2]
+    key = jnp.where(valid, key, big)
+
+    # first-occurrence order of voxels = order of each key's first point
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    first = first & (sorted_key < big)
+    # voxel slot of each sorted point = (#firsts before it) - 1
+    slot_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_voxels = first.sum()
+    # but first-occurrence order in sorted-key space is KEY order, not
+    # arrival order; the CUDA kernel assigns voxel ids by arrival. To
+    # match arrival order, rank voxels by their first point's index.
+    first_point_idx = jnp.where(first, order, n)
+    # voxel ids in key-space: 0..V-1 (slot_sorted); map to arrival rank
+    first_idx_per_voxel = jax.ops.segment_min(
+        jnp.where(sorted_key < big, order, n), slot_sorted.clip(0),
+        num_segments=max(n, 1))
+    arrival_rank = jnp.argsort(jnp.argsort(first_idx_per_voxel))
+    voxel_of_point_sorted = arrival_rank[slot_sorted.clip(0)]
+    voxel_of_point_sorted = jnp.where(sorted_key < big,
+                                      voxel_of_point_sorted, max_voxels)
+    # position of each point within its voxel (arrival order preserved
+    # by the stable sort within equal keys)
+    pos_sorted = jnp.arange(n) - jax.ops.segment_min(
+        jnp.arange(n), slot_sorted.clip(0), num_segments=max(n, 1)
+    )[slot_sorted.clip(0)]
+
+    keep = ((voxel_of_point_sorted < max_voxels)
+            & (pos_sorted < max_points))
+    vox_idx = jnp.where(keep, voxel_of_point_sorted, max_voxels)
+    pos_idx = jnp.where(keep, pos_sorted, max_points)
+
+    voxels = jnp.zeros((max_voxels + 1, max_points + 1, c),
+                       points.dtype)
+    voxels = voxels.at[vox_idx, pos_idx].set(points[order])
+    voxels = voxels[:max_voxels, :max_points]
+
+    counts = jnp.zeros((max_voxels + 1,), jnp.int32).at[vox_idx].add(
+        keep.astype(jnp.int32))[:max_voxels]
+
+    out_coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
+    czyx = jnp.stack([coords[:, 2], coords[:, 1], coords[:, 0]],
+                     axis=-1)[order]
+    out_coords = out_coords.at[
+        jnp.where(first & (voxel_of_point_sorted < max_voxels),
+                  voxel_of_point_sorted, max_voxels)].set(czyx)
+    out_coords = out_coords[:max_voxels]
+    n_out = jnp.minimum(n_voxels, max_voxels)
+    return voxels, out_coords, counts, n_out
+
+
+@jax.jit
+def voxelize_dynamic(points, voxel_size, pc_range):
+    """Per-point (z, y, x) voxel coords; -1 rows for out-of-range."""
+    coords, valid, _ = _coords_and_valid(points, voxel_size, pc_range)
+    czyx = jnp.stack([coords[:, 2], coords[:, 1], coords[:, 0]], axis=-1)
+    return jnp.where(valid[:, None], czyx, -1)
+
+
+@partial(jax.jit, static_argnames=("max_voxels", "reduce"))
+def dynamic_scatter(features, coords, grid_zyx, max_voxels: int,
+                    reduce: str = "mean"):
+    """Reduce per-point features into voxels (DynamicScatter).
+
+    Args:
+        features: (N, C); coords: (N, 3) int (z, y, x), -1 = invalid.
+        grid_zyx: static (3,) grid extents.
+
+    Returns (voxel_feats (max_voxels, C), voxel_coords (max_voxels, 3),
+    n_voxels) — voxels ordered by linearized coordinate.
+    """
+    n, c = features.shape
+    gz, gy, gx = grid_zyx
+    valid = jnp.all(coords >= 0, axis=-1)
+    key = (coords[:, 0] * gy + coords[:, 1]) * gx + coords[:, 2]
+    big = gz * gy * gx
+    key = jnp.where(valid, key, big)
+    uniq = jnp.unique(key, size=max_voxels + 1, fill_value=big)
+    slot = jnp.searchsorted(uniq, key).clip(0, max_voxels)
+
+    if reduce == "mean":
+        sums = jnp.zeros((max_voxels + 1, c), features.dtype
+                         ).at[slot].add(jnp.where(valid[:, None],
+                                                  features, 0))
+        cnt = jnp.zeros((max_voxels + 1,), jnp.float32).at[slot].add(
+            valid.astype(jnp.float32))
+        feats = sums[:max_voxels] / jnp.maximum(cnt[:max_voxels, None],
+                                                1.0)
+    elif reduce == "max":
+        neg = jnp.finfo(features.dtype).min
+        feats = jnp.full((max_voxels + 1, c), neg, features.dtype
+                         ).at[slot].max(
+            jnp.where(valid[:, None], features, neg))[:max_voxels]
+        feats = jnp.where(feats == neg, 0, feats)
+    else:
+        raise ValueError(reduce)
+
+    vz = uniq[:max_voxels] // (gy * gx)
+    vy = (uniq[:max_voxels] // gx) % gy
+    vx = uniq[:max_voxels] % gx
+    vcoords = jnp.stack([vz, vy, vx], axis=-1)
+    is_real = uniq[:max_voxels] < big
+    vcoords = jnp.where(is_real[:, None], vcoords, -1)
+    return feats * is_real[:, None], vcoords, is_real.sum()
