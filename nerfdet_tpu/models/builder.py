@@ -70,6 +70,26 @@ def _build_imvoxelnet(cfg: dict, meta: SceneMeta = None,
     return model
 
 
+@register_model("VoteNet")
+def _build_votenet(cfg: dict, meta: SceneMeta = None,
+                   compute_dtype=jnp.float32):
+    """Point-cloud VoteNet (reference `detectors/votenet.py`)."""
+    from .votenet import SCANNET_MEAN_SIZES, VoteNet
+
+    head = cfg.get("bbox_head", {})
+    coder = head.get("bbox_coder", {})
+    return VoteNet(
+        num_classes=head.get("num_classes", 18),
+        num_dir_bins=coder.get("num_dir_bins", 1),
+        with_rot=coder.get("with_rot", False),
+        mean_sizes=tuple(tuple(m) for m in coder.get(
+            "mean_sizes", SCANNET_MEAN_SIZES)),
+        num_proposal=head.get("num_proposal", 256),
+        backbone_cfg=cfg.get("backbone_cfg"),
+        dtype=compute_dtype,
+    )
+
+
 def build_model(model_cfg: dict, meta: SceneMeta = None,
                 compute_dtype=jnp.float32):
     """Construct a model module from a config ``model`` dict."""
