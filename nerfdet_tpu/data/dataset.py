@@ -184,6 +184,42 @@ class ScanNetMultiViewDataset:
             logger=logger)
 
 
+class ScanNetPointsDataset(ScanNetMultiViewDataset):
+    """Point-cloud modality dataset (VoteNet-style): loads the ETL's
+    ``points/<scene>.bin``, axis-aligns, samples to a static count.
+
+    Equivalent of the reference's ``ScanNetDataset`` point path
+    (`scannet_dataset.py` + LoadPointsFromFile/GlobalAlignment/
+    PointSample pipeline).
+    """
+
+    def __init__(self, *args, n_points: int = 8192, **kwargs):
+        kwargs.setdefault("use_ray", False)
+        super().__init__(*args, pipeline=kwargs.pop(
+            "pipeline", None) or MultiViewPipeline(n_images=0,
+                                                   nerf_target_views=0),
+            **kwargs)
+        self.n_points = n_points
+
+    def __getitem__(self, index: int) -> Dict:
+        from .pipeline import (global_alignment, load_points,
+                               sample_points)
+
+        rng = np.random.RandomState(
+            self._rng.randint(0, 2 ** 31 - 1) if not self.test_mode
+            else index)
+        info = self.data_infos[index % len(self.data_infos)]
+        pts = load_points(os.path.join(self.data_root, info["pts_path"]))
+        pts = global_alignment(
+            pts, np.asarray(info["annos"]["axis_align_matrix"]))
+        pts = sample_points(pts, self.n_points, rng)
+        boxes, labels, mask = pad_gt(
+            self.get_ann_info(index)["gt_bboxes_3d"],
+            self.get_ann_info(index)["gt_labels_3d"], self.max_gt)
+        return dict(points=pts, gt_boxes=boxes, gt_labels=labels,
+                    gt_mask=mask)
+
+
 def build_dataset(data_cfg: Dict, test_mode: bool = False,
                   use_depth: bool = False, n_rand: int = 2048
                   ) -> ScanNetMultiViewDataset:
