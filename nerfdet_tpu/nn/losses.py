@@ -84,6 +84,39 @@ def axis_aligned_iou_loss(pred, target, weight=None, avg_factor=None,
     return loss * loss_weight
 
 
+def chamfer_distance(src, dst, src_weight=None, dst_weight=None,
+                     criterion: str = "l2",
+                     dst_valid=None):
+    """Bidirectional chamfer distance (reference
+    `mmdet3d/models/losses/chamfer_distance.py`, the VoteNet center
+    loss).
+
+    Args:
+        src: (N, 3) predictions; dst: (M, 3) targets.
+        src_weight/dst_weight: per-element weights.
+        dst_valid: (M,) bool — padded targets excluded from both
+            directions.
+
+    Returns (loss_src->dst, loss_dst->src, idx_src, idx_dst).
+    """
+    d = jnp.sum((src[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+    if criterion == "l1":
+        d = jnp.sqrt(jnp.maximum(d, 1e-12))
+    if dst_valid is not None:
+        d = jnp.where(dst_valid[None, :], d, 1e10)
+    src2dst = d.min(axis=1)
+    idx_src = d.argmin(axis=1)
+    dst2src = d.min(axis=0)
+    idx_dst = d.argmin(axis=0)
+    if src_weight is not None:
+        src2dst = src2dst * src_weight
+    if dst_weight is not None:
+        dst2src = dst2src * dst_weight
+    if dst_valid is not None:
+        dst2src = jnp.where(dst_valid, dst2src, 0.0)
+    return src2dst, dst2src, idx_src, idx_dst
+
+
 def masked_mse(pred, target, mask, eps: float = 1e-6):
     """NVS photometric loss (reference `nerfdet.py:296-307`)."""
     return jnp.sum(mask[..., None] * (pred - target) ** 2) / (

@@ -168,8 +168,18 @@ def vote_head_loss(preds: Dict, coder: PartialBinBasedBBoxCoder,
         ax = jnp.abs(x)
         return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
-    losses["center_loss"] = jnp.sum(
-        smooth_l1(preds["center"] - center_t).sum(-1) * pos) / n_pos
+    # bidirectional chamfer center loss (reference uses ChamferDistance:
+    # positives pull to their nearest gt center AND every gt center
+    # pulls its nearest proposal)
+    from .losses import chamfer_distance
+
+    gt_centers = centers
+    s2d, d2s, _, _ = chamfer_distance(
+        preds["center"], gt_centers, src_weight=pos / n_pos,
+        dst_weight=gt_mask.astype(jnp.float32)
+        / jnp.maximum(gt_mask.sum(), 1),
+        dst_valid=gt_mask)
+    losses["center_loss"] = s2d.sum() + d2s.sum()
     losses["dir_class_loss"] = jnp.sum(
         _ce(preds["dir_class"], dir_cls) * pos) / n_pos
     pred_dir_res = jnp.take_along_axis(
