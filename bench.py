@@ -55,7 +55,23 @@ def main():
 
     nms_pre = cfg.test_cfg["nms_pre"]
 
-    def infer(variables, b):
+    def infer(variables, b, it):
+        # vary the actual image content (and origin) per iteration so no
+        # two timed executions see identical inputs; the perturbation is
+        # generated on-device inside the measured program and its cost
+        # (~11M random elements vs a 50-view ResNet-50) is negligible
+        key = jax.random.fold_in(jax.random.PRNGKey(7), it)
+        k_img, k_den = jax.random.split(key)
+        b = dict(
+            b,
+            imgs=b["imgs"]
+            + 0.01 * jax.random.normal(k_img, b["imgs"].shape,
+                                       b["imgs"].dtype),
+            denorm_images=b["denorm_images"]
+            + 0.01 * jax.random.normal(k_den, b["denorm_images"].shape,
+                                       b["denorm_images"].dtype),
+            origin=b["origin"] + it.astype(jnp.float32) * 1e-4,
+        )
         head_outs, valid, _ = model.apply(
             variables, b, train=False, with_rays=True)
         mlvl = model.mlvl_points(b["origin"])
@@ -69,14 +85,13 @@ def main():
     # ITERS executions with *varied* inputs (defeats any dedup), fetch
     # the last result once — steady-state pipelined throughput, data
     # loading excluded (mirrors tools/benchmark.py:60-90 accounting).
-    origins = [batch["origin"] + i * 1e-4 for i in range(WARMUP + ITERS)]
-    jax.device_get(step(params, batch))
+    iters = [jnp.asarray(i, jnp.int32) for i in range(WARMUP + ITERS)]
+    jax.device_get(step(params, batch, iters[0]))
     for i in range(WARMUP):
-        jax.device_get(step(params, dict(batch, origin=origins[i])))
+        jax.device_get(step(params, batch, iters[i]))
 
     t0 = time.perf_counter()
-    outs = [step(params, dict(batch, origin=origins[WARMUP + i]))
-            for i in range(ITERS)]
+    outs = [step(params, batch, iters[WARMUP + i]) for i in range(ITERS)]
     jax.device_get(outs[-1])
     dt = time.perf_counter() - t0
 

@@ -218,19 +218,29 @@ def run_eval(model, variables, dataset, test_cfg: Dict,
     import pickle
     import time as _time
 
+    import os as os_mod
+
     assert partial_dir is not None, "sharded eval needs partial_dir"
-    os_mod = __import__("os")
     os_mod.makedirs(partial_dir, exist_ok=True)
-    with open(f"{partial_dir}/part_{rank}.pkl", "wb") as f:
+    # write-to-temp + atomic rename: readers must never observe a
+    # partially written pickle
+    path_r = f"{partial_dir}/part_{rank}.pkl"
+    tmp = f"{path_r}.tmp.{os_mod.getpid()}"
+    with open(tmp, "wb") as f:
         pickle.dump(local, f)
+    os_mod.replace(tmp, path_r)
     if rank != 0:
         return {}
     merged: Dict[int, Dict] = {}
+    timeout_s = 600.0
     for r in range(world):
         path = f"{partial_dir}/part_{r}.pkl"
-        for _ in range(600):
-            if os_mod.path.exists(path):
-                break
+        deadline = _time.monotonic() + timeout_s
+        while not os_mod.path.exists(path):
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"sharded eval: rank {r} shard {path} missing after "
+                    f"{timeout_s:.0f}s — did that process die?")
             _time.sleep(1.0)
         with open(path, "rb") as f:
             for i, res in pickle.load(f):

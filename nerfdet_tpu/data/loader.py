@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -67,8 +66,12 @@ class BatchLoader:
         for bi, idxs in enumerate(batches):
             idx_q.put((bi, idxs))
         results: Dict[int, Dict] = {}
-        results_lock = threading.Lock()
+        cond = threading.Condition()
         stop = threading.Event()
+        # capacity invariant: prefetch completed-but-unconsumed batches
+        # plus one insertion slot per in-flight worker, so the worker
+        # holding the batch the consumer needs can always insert it
+        capacity = self.prefetch + self.num_workers
 
         def worker():
             while not stop.is_set():
@@ -77,13 +80,13 @@ class BatchLoader:
                 except queue.Empty:
                     return
                 batch = stack_scenes([self.dataset[int(i)] for i in idxs])
-                # bounded prefetch: don't run unboundedly ahead
-                while not stop.is_set():
-                    with results_lock:
-                        if len(results) < self.prefetch + self.num_workers:
-                            results[bi] = batch
-                            break
-                    time.sleep(0.005)
+                with cond:
+                    while not stop.is_set() and len(results) >= capacity:
+                        cond.wait(timeout=1.0)
+                    if stop.is_set():
+                        return
+                    results[bi] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -92,17 +95,19 @@ class BatchLoader:
 
         try:
             for bi in range(n_batches):
-                while True:
-                    with results_lock:
-                        if bi in results:
-                            batch = results.pop(bi)
-                            break
-                        workers_alive = any(t.is_alive() for t in threads)
-                    if not workers_alive:
-                        raise RuntimeError(
-                            "loader workers died before producing batch "
-                            f"{bi}")
-                    time.sleep(0.002)
+                with cond:
+                    while bi not in results:
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                "loader workers died before producing "
+                                f"batch {bi}")
+                        # timeout so worker death is noticed even if no
+                        # notify ever arrives
+                        cond.wait(timeout=0.5)
+                    batch = results.pop(bi)
+                    cond.notify_all()
                 yield batch
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()

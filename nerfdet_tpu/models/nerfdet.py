@@ -14,8 +14,9 @@ Structural differences from the reference (all semantics-preserving):
   over views (`ops/voxel.py:fused_mean_cov`);
 * padded feature maps are kept at TPU-aligned sizes and validity is
   enforced via bounds instead of cropping;
-* the training ray subset is selected in the data layer (static shapes),
-  replaying the reference's RNG for parity.
+* the training ray subset is selected in the data layer (static
+  shapes), from this framework's own RNG streams — reference-RNG
+  bit-parity replay is not implemented.
 """
 
 from __future__ import annotations
@@ -82,6 +83,13 @@ class NerfDet(nn.Module):
         return self.fpn_out_channels // self.squeeze_scale
 
     def setup(self):
+        # a ray contributes to the NVS/depth losses only when it has >8
+        # valid view-observations (reference `render_ray.py:230`, our
+        # `ops/render.raw2outputs`); with n_samples <= 8 every ray fails
+        # the threshold and the losses silently become zero
+        assert self.n_samples > 8, (
+            f"n_samples={self.n_samples} <= 8 zeroes all NVS/depth "
+            "losses (>8-valid-sample ray mask)")
         self.backbone = ResNet(
             depth=self.backbone_depth, dtype=self.compute_dtype)
         self.neck = FPN(

@@ -3,8 +3,9 @@
 TPU-native equivalent of the reference renderer
 (`mmdet3d/models/model_utils/render_ray.py` and `projection.py`). All
 shapes are static: the training-time random ray subset is drawn in the
-data layer (host numpy, replaying the reference RNG), and test-time
-full-image rendering maps a fixed-size chunk function with ``lax.map``.
+data layer (host numpy, own RNG streams — no reference-RNG replay), and
+test-time full-image rendering maps a fixed-size chunk function with
+``lax.map``.
 
 The per-(ray,sample,view) feature gather is expressed as dense bilinear
 sampling + masking, which XLA fuses into the surrounding elementwise
