@@ -1,11 +1,16 @@
 """ScanNet-protocol indoor detection evaluation (mAP / mAR @ IoU thresholds).
 
-Host-side numpy re-implementation of the reference protocol
-(`mmdet3d/core/evaluation/indoor_eval.py:7-310`): per-class greedy TP/FP
-matching against the highest-IoU ground truth, VOC-style area AP, and a
-text summary table. Unlike the reference, the IoU matrix is computed with
-pure numpy (`core/boxes.py`) instead of a CUDA kernel, so evaluation runs
-anywhere.
+Numerically matches the reference protocol
+(`mmdet3d/core/evaluation/indoor_eval.py:7-310`) but is a vectorized
+redesign, not a port: instead of the reference's per-detection Python
+loop with mutable per-GT "already matched" flags, we exploit the fact
+that the VOC greedy match assigns each detection a *fixed* candidate GT
+(its highest-IoU same-class GT, independent of matching state). A
+detection is then a true positive iff it clears the IoU threshold AND it
+is the first threshold-clearing detection, in descending-confidence
+order, whose candidate is that GT — which reduces the whole sweep to one
+IoU matrix per scene, one argmax, one sort, and one first-occurrence
+scan. Identical results, no per-box Python loop.
 """
 
 from __future__ import annotations
@@ -16,148 +21,116 @@ from .boxes import DepthBoxes3D
 
 
 def average_precision(recalls, precisions, mode: str = "area"):
-    """VOC-style AP (reference `indoor_eval.py:7-52`)."""
-    if recalls.ndim == 1:
-        recalls = recalls[np.newaxis, :]
-        precisions = precisions[np.newaxis, :]
+    """VOC AP from (num_scales, N) recall/precision curves.
+
+    ``area`` integrates the precision envelope over recall (reference
+    `indoor_eval.py:7-52` semantics); ``11points`` averages the envelope
+    at recall {0, 0.1, ..., 1}.
+    """
+    recalls = np.atleast_2d(np.asarray(recalls))
+    precisions = np.atleast_2d(np.asarray(precisions))
     assert recalls.shape == precisions.shape and recalls.ndim == 2
     num_scales = recalls.shape[0]
-    ap = np.zeros(num_scales, dtype=np.float32)
+    pad0 = np.zeros((num_scales, 1), dtype=np.float64)
+    pad1 = np.ones((num_scales, 1), dtype=np.float64)
+    r = np.concatenate([pad0, recalls, pad1], axis=1)
+    p = np.concatenate([pad0, precisions, pad0], axis=1)
+    # precision envelope: running max from the right
+    p = np.maximum.accumulate(p[:, ::-1], axis=1)[:, ::-1]
     if mode == "area":
-        zeros = np.zeros((num_scales, 1), dtype=recalls.dtype)
-        ones = np.ones((num_scales, 1), dtype=recalls.dtype)
-        mrec = np.hstack((zeros, recalls, ones))
-        mpre = np.hstack((zeros, precisions, zeros))
-        for i in range(mpre.shape[1] - 1, 0, -1):
-            mpre[:, i - 1] = np.maximum(mpre[:, i - 1], mpre[:, i])
-        for i in range(num_scales):
-            ind = np.where(mrec[i, 1:] != mrec[i, :-1])[0]
-            ap[i] = np.sum((mrec[i, ind + 1] - mrec[i, ind]) * mpre[i, ind + 1])
-    elif mode == "11points":
-        for i in range(num_scales):
-            for thr in np.arange(0, 1 + 1e-3, 0.1):
-                precs = precisions[i, recalls[i, :] >= thr]
-                prec = precs.max() if precs.size > 0 else 0
-                ap[i] += prec
-            ap /= 11
-    else:
-        raise ValueError('mode must be "area" or "11points"')
-    return ap
+        return np.sum((r[:, 1:] - r[:, :-1]) * p[:, 1:],
+                      axis=1).astype(np.float32)
+    if mode == "11points":
+        thrs = np.arange(0.0, 1.0 + 1e-3, 0.1)
+        # envelope precision at the first recall point >= thr
+        at = np.stack([
+            np.where(r[i, :, None] >= thrs[None, :], p[i, :, None],
+                     0.0).max(axis=0)
+            for i in range(num_scales)
+        ])
+        return at.mean(axis=1).astype(np.float32)
+    raise ValueError('mode must be "area" or "11points"')
 
 
-def eval_det_cls(pred, gt, iou_thr):
-    """Single-class precision/recall (reference `indoor_eval.py:55-160`).
+def _as_depth_boxes(boxes, origin=(0.5, 0.5, 0)):
+    if isinstance(boxes, DepthBoxes3D):
+        return boxes
+    arr = np.asarray(boxes, np.float32).reshape(-1, 7)
+    return DepthBoxes3D(arr, box_dim=7, with_yaw=False, origin=origin)
+
+
+def _candidate_matches(det_sets, gt_sets):
+    """Per-detection candidate GT and IoU, over a list of scenes.
 
     Args:
-        pred: {img_id: [(DepthBoxes3D row, score), ...]}
-        gt: {img_id: [DepthBoxes3D row, ...]}
-        iou_thr: list of IoU thresholds.
+        det_sets: per scene (DepthBoxes3D, labels (n,), scores (n,)).
+        gt_sets: per scene (DepthBoxes3D, labels (m,)).
+
+    Returns flat arrays over all detections: ``labels``, ``scores``,
+    ``best_iou`` (IoU with the candidate, ``-inf`` when the scene has no
+    same-class GT) and ``best_gt`` (globally unique candidate id), plus
+    the per-class GT counts ``npos`` as a dict.
     """
-    class_recs = {}
-    npos = 0
-    for img_id in gt.keys():
-        cur_gt_num = len(gt[img_id])
-        if cur_gt_num != 0:
-            gt_cur = np.zeros([cur_gt_num, 7], dtype=np.float32)
-            for i in range(cur_gt_num):
-                gt_cur[i] = gt[img_id][i].tensor
-            bbox = gt[img_id][0].new_box(gt_cur)
-        else:
-            bbox = gt[img_id]
-        det = [[False] * len(bbox) for _ in iou_thr]
-        npos += len(bbox)
-        class_recs[img_id] = {"bbox": bbox, "det": det}
-
-    image_ids, confidence, ious = [], [], []
-    for img_id in pred.keys():
-        cur_num = len(pred[img_id])
-        if cur_num == 0:
-            continue
-        pred_cur = np.zeros((cur_num, 7), dtype=np.float32)
-        box_idx = 0
-        box = None
-        for box, score in pred[img_id]:
-            image_ids.append(img_id)
-            confidence.append(score)
-            pred_cur[box_idx] = box.tensor
-            box_idx += 1
-        pred_cur = box.new_box(pred_cur)
-        gt_cur = class_recs[img_id]["bbox"]
-        if len(gt_cur) > 0:
-            iou_cur = pred_cur.overlaps(gt_cur)
-            for i in range(cur_num):
-                ious.append(iou_cur[i])
-        else:
-            for _ in range(cur_num):
-                ious.append(np.zeros(1))
-
-    confidence = np.array(confidence)
-    sorted_ind = np.argsort(-confidence)
-    image_ids = [image_ids[x] for x in sorted_ind]
-    ious = [ious[x] for x in sorted_ind]
-
-    nd = len(image_ids)
-    tp_thr = [np.zeros(nd) for _ in iou_thr]
-    fp_thr = [np.zeros(nd) for _ in iou_thr]
-    for d in range(nd):
-        R = class_recs[image_ids[d]]
-        iou_max, jmax = -np.inf, -1
-        BBGT = R["bbox"]
-        cur_iou = ious[d]
-        if len(BBGT) > 0:
-            for j in range(len(BBGT)):
-                iou = cur_iou[j]
-                if iou > iou_max:
-                    iou_max = iou
-                    jmax = j
-        for iou_idx, thresh in enumerate(iou_thr):
-            if iou_max > thresh:
-                if not R["det"][iou_idx][jmax]:
-                    tp_thr[iou_idx][d] = 1.0
-                    R["det"][iou_idx][jmax] = 1
-                else:
-                    fp_thr[iou_idx][d] = 1.0
+    labels, scores, best_iou, best_gt = [], [], [], []
+    npos: dict = {}
+    gt_offset = 0
+    for (dboxes, dlabels, dscores), (gboxes, glabels) in zip(
+            det_sets, gt_sets):
+        for c in glabels.tolist():
+            npos[int(c)] = npos.get(int(c), 0) + 1
+        nd, ng = len(dboxes), len(gboxes)
+        if nd:
+            labels.append(dlabels)
+            scores.append(dscores)
+            if ng:
+                iou = np.asarray(dboxes.overlaps(gboxes))  # (nd, ng)
+                same = dlabels[:, None] == glabels[None, :]
+                iou = np.where(same, iou, -np.inf)
+                j = np.argmax(iou, axis=1)  # first max wins ties
+                best_iou.append(iou[np.arange(nd), j])
+                best_gt.append(gt_offset + j)
             else:
-                fp_thr[iou_idx][d] = 1.0
+                best_iou.append(np.full(nd, -np.inf))
+                best_gt.append(np.full(nd, -1, dtype=np.int64))
+        gt_offset += ng
+    if labels:
+        return (np.concatenate(labels), np.concatenate(scores),
+                np.concatenate(best_iou), np.concatenate(best_gt), npos)
+    return (np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+            np.zeros(0, np.int64), npos)
 
-    ret = []
-    for iou_idx, _ in enumerate(iou_thr):
-        fp = np.cumsum(fp_thr[iou_idx])
-        tp = np.cumsum(tp_thr[iou_idx])
+
+def _class_pr_curves(scores, best_iou, best_gt, npos, thresholds):
+    """Precision/recall curves of one class at each IoU threshold.
+
+    ``scores/best_iou/best_gt`` are this class's detections only.
+    Returns per threshold ``(recall, precision, ap)``.
+    """
+    order = np.argsort(-scores, kind="stable")
+    iou_s = best_iou[order]
+    gt_s = best_gt[order]
+    nd = len(order)
+    out = []
+    for thr in thresholds:
+        ok = iou_s > thr
+        tp = np.zeros(nd)
+        if ok.any():
+            # first qualifying detection per candidate GT is the TP
+            idx = np.nonzero(ok)[0]
+            _, first = np.unique(gt_s[idx], return_index=True)
+            tp[idx[first]] = 1.0
+        fp = np.cumsum(1.0 - tp)
+        tp = np.cumsum(tp)
         recall = tp / float(max(npos, 1))
         precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-        ap = average_precision(recall, precision)
-        ret.append((recall, precision, ap))
-    return ret
-
-
-def eval_map_recall(pred, gt, ovthresh):
-    """Multi-class wrapper (reference `indoor_eval.py:163-200`)."""
-    ret_values = {}
-    for classname in gt.keys():
-        if classname in pred:
-            ret_values[classname] = eval_det_cls(
-                pred[classname], gt[classname], ovthresh
-            )
-    recall = [{} for _ in ovthresh]
-    precision = [{} for _ in ovthresh]
-    ap = [{} for _ in ovthresh]
-    for label in gt.keys():
-        for iou_idx, _ in enumerate(ovthresh):
-            if label in pred:
-                recall[iou_idx][label], precision[iou_idx][label], ap[iou_idx][
-                    label
-                ] = ret_values[label][iou_idx]
-            else:
-                recall[iou_idx][label] = np.zeros(1)
-                precision[iou_idx][label] = np.zeros(1)
-                ap[iou_idx][label] = np.zeros(1)
-    return recall, precision, ap
+        out.append((recall, precision,
+                    average_precision(recall, precision)[0]))
+    return out
 
 
 def indoor_eval(gt_annos, dt_annos, metric, label2cat, logger=None,
                 box_dim: int = 6):
-    """ScanNet mAP/mAR evaluation (reference `indoor_eval.py:203-310`).
+    """ScanNet mAP/mAR evaluation (protocol of `indoor_eval.py:203-310`).
 
     Args:
         gt_annos: list of dicts with keys ``gt_num``,
@@ -170,62 +143,61 @@ def indoor_eval(gt_annos, dt_annos, metric, label2cat, logger=None,
         label2cat: {label: class name}.
     """
     assert len(dt_annos) == len(gt_annos)
-    pred, gt = {}, {}
-    for img_id in range(len(dt_annos)):
-        det_anno = dt_annos[img_id]
-        boxes_3d = det_anno["boxes_3d"]
-        if not isinstance(boxes_3d, DepthBoxes3D):
-            boxes_3d = DepthBoxes3D(
-                np.asarray(boxes_3d, np.float32).reshape(-1, 7),
-                box_dim=7, with_yaw=False, origin=(0.5, 0.5, 0))
-        labels_3d = np.asarray(det_anno["labels_3d"])
-        scores_3d = np.asarray(det_anno["scores_3d"])
-        for i in range(len(labels_3d)):
-            label = int(labels_3d[i])
-            pred.setdefault(label, {}).setdefault(img_id, [])
-            gt.setdefault(label, {}).setdefault(img_id, [])
-            pred[label][img_id].append((boxes_3d[i], float(scores_3d[i])))
-
-        gt_anno = gt_annos[img_id]
+    det_sets, gt_sets = [], []
+    for det_anno, gt_anno in zip(dt_annos, gt_annos):
+        dboxes = _as_depth_boxes(det_anno["boxes_3d"])
+        dlabels = np.asarray(det_anno["labels_3d"]).astype(np.int64)
+        dscores = np.asarray(det_anno["scores_3d"]).astype(np.float64)
+        det_sets.append((dboxes, dlabels, dscores))
         if gt_anno["gt_num"] != 0:
-            gt_boxes = DepthBoxes3D(
-                gt_anno["gt_boxes_upright_depth"],
-                box_dim=gt_anno["gt_boxes_upright_depth"].shape[-1],
-                with_yaw=gt_anno["gt_boxes_upright_depth"].shape[-1] == 7,
-                origin=(0.5, 0.5, 0.5),
-            )
-            labels_3d = np.asarray(gt_anno["class"])
+            raw = gt_anno["gt_boxes_upright_depth"]
+            gboxes = DepthBoxes3D(raw, box_dim=raw.shape[-1],
+                                  with_yaw=raw.shape[-1] == 7,
+                                  origin=(0.5, 0.5, 0.5))
+            glabels = np.asarray(gt_anno["class"]).astype(np.int64)
         else:
-            gt_boxes = DepthBoxes3D(np.zeros((0, 7), np.float32))
-            labels_3d = np.array([], dtype=np.int64)
-        for i in range(len(labels_3d)):
-            label = int(labels_3d[i])
-            gt.setdefault(label, {}).setdefault(img_id, [])
-            gt[label][img_id].append(gt_boxes[i])
+            gboxes = DepthBoxes3D(np.zeros((0, 7), np.float32))
+            glabels = np.zeros(0, np.int64)
+        gt_sets.append((gboxes, glabels))
 
-    rec, prec, ap = eval_map_recall(pred, gt, metric)
+    labels, scores, best_iou, best_gt, npos = _candidate_matches(
+        det_sets, gt_sets)
+
+    # evaluated classes = union of GT and detection labels (a class with
+    # detections but no GT contributes AP/AR 0 to the means, matching
+    # the reference's dict construction)
+    classes = sorted(set(npos) | set(int(c) for c in np.unique(labels)))
+    ap = [dict() for _ in metric]
+    rec_last = [dict() for _ in metric]
+    for c in classes:
+        sel = labels == c
+        if sel.any():
+            curves = _class_pr_curves(scores[sel], best_iou[sel],
+                                      best_gt[sel], npos.get(c, 0), metric)
+            for i, (recall, _prec, ap_c) in enumerate(curves):
+                ap[i][c] = float(ap_c)
+                rec_last[i][c] = float(recall[-1])
+        else:
+            for i in range(len(metric)):
+                ap[i][c] = 0.0
+                rec_last[i][c] = 0.0
 
     ret_dict = {}
+    for i, iou_thresh in enumerate(metric):
+        for c in classes:
+            ret_dict[f"{label2cat[c]}_AP_{iou_thresh:.2f}"] = ap[i][c]
+            ret_dict[f"{label2cat[c]}_rec_{iou_thresh:.2f}"] = rec_last[i][c]
+        ret_dict[f"mAP_{iou_thresh:.2f}"] = float(
+            np.mean([ap[i][c] for c in classes])) if classes else 0.0
+        ret_dict[f"mAR_{iou_thresh:.2f}"] = float(
+            np.mean([rec_last[i][c] for c in classes])) if classes else 0.0
+
     lines = [f"{'class':<16}" + "".join(
         f"AP_{t:.2f}   AR_{t:.2f}   " for t in metric)]
-    for i, iou_thresh in enumerate(metric):
-        rec_list = []
-        for label in ap[i].keys():
-            ret_dict[f"{label2cat[label]}_AP_{iou_thresh:.2f}"] = float(
-                ap[i][label][0]
-            )
-        ret_dict[f"mAP_{iou_thresh:.2f}"] = float(np.mean(list(ap[i].values())))
-        for label in rec[i].keys():
-            ret_dict[f"{label2cat[label]}_rec_{iou_thresh:.2f}"] = float(
-                rec[i][label][-1]
-            )
-            rec_list.append(rec[i][label][-1])
-        ret_dict[f"mAR_{iou_thresh:.2f}"] = float(np.mean(rec_list))
-
-    for label in sorted(gt.keys()):
-        row = f"{str(label2cat[label]):<16}"
-        for i, t in enumerate(metric):
-            row += f"{float(ap[i][label][0]):<9.4f}{float(rec[i][label][-1]):<9.4f}"
+    for c in classes:
+        row = f"{str(label2cat[c]):<16}"
+        for i in range(len(metric)):
+            row += f"{ap[i][c]:<9.4f}{rec_last[i][c]:<9.4f}"
         lines.append(row)
     row = f"{'Overall':<16}"
     for t in metric:

@@ -88,3 +88,107 @@ def test_indoor_eval_less_classes():
     ret = indoor_eval(gt_annos, det_infos, [0.25, 0.5], label2cat)
     assert np.isclose(ret["mAP_0.25"], 0.666667, atol=1e-5)
     assert np.isclose(ret["mAR_0.25"], 0.666667, atol=1e-5)
+
+
+def _brute_force_map(gt_annos, det_infos, thresholds, label2cat):
+    """Independent slow checker: literal greedy VOC sweep with flags."""
+    from nerfdet_tpu.core.eval import average_precision
+
+    classes = set()
+    for g in gt_annos:
+        classes |= set(int(c) for c in np.asarray(g["class"]))
+    for d in det_infos:
+        classes |= set(int(c) for c in np.asarray(d["labels_3d"]))
+    out = {}
+    for thr in thresholds:
+        aps, recs = [], []
+        for c in sorted(classes):
+            # flatten dets of class c over scenes, keep scene ids
+            recs_c = []
+            dets = []
+            npos = 0
+            per_scene_gt = []
+            for sid, (g, d) in enumerate(zip(gt_annos, det_infos)):
+                glab = np.asarray(g["class"])
+                graw = g["gt_boxes_upright_depth"][glab == c]
+                if g["gt_num"] == 0:
+                    graw = np.zeros((0, 6), np.float32)
+                gb = DepthBoxes3D(graw, box_dim=graw.shape[-1] if len(graw)
+                                  else 6, with_yaw=False,
+                                  origin=(0.5, 0.5, 0.5))
+                per_scene_gt.append(gb)
+                npos += len(gb)
+                dlab = np.asarray(d["labels_3d"])
+                db = d["boxes_3d"]
+                for i in np.nonzero(dlab == c)[0]:
+                    dets.append((float(d["scores_3d"][i]), sid, db[int(i)]))
+            dets.sort(key=lambda t: -t[0])
+            used = [np.zeros(len(g), bool) for g in per_scene_gt]
+            tp = np.zeros(len(dets))
+            fp = np.zeros(len(dets))
+            for k, (_s, sid, box) in enumerate(dets):
+                gb = per_scene_gt[sid]
+                if len(gb):
+                    iou = np.asarray(box.overlaps(gb)).reshape(-1)
+                    j = int(np.argmax(iou))
+                    if iou[j] > thr and not used[sid][j]:
+                        tp[k] = 1
+                        used[sid][j] = True
+                    else:
+                        fp[k] = 1
+                else:
+                    fp[k] = 1
+            rc = np.cumsum(tp) / max(npos, 1)
+            pr = np.cumsum(tp) / np.maximum(
+                np.cumsum(tp) + np.cumsum(fp), 1e-12)
+            if len(dets):
+                aps.append(float(average_precision(rc, pr)[0]))
+                recs.append(float(rc[-1]))
+            else:
+                aps.append(0.0)
+                recs.append(0.0)
+        out[f"mAP_{thr:.2f}"] = float(np.mean(aps))
+        out[f"mAR_{thr:.2f}"] = float(np.mean(recs))
+    return out
+
+
+def test_indoor_eval_matches_brute_force_random():
+    rng = np.random.RandomState(3)
+    n_scenes, n_cls = 6, 5
+    gt_annos, det_infos = [], []
+    for _ in range(n_scenes):
+        ng = int(rng.randint(0, 12))
+        ctr = rng.uniform(-4, 4, (ng, 3))
+        dim = rng.uniform(0.3, 2.0, (ng, 3))
+        gt_annos.append({
+            "gt_num": ng,
+            "gt_boxes_upright_depth": np.concatenate(
+                [ctr, dim], -1).astype(np.float32),
+            "class": rng.randint(0, n_cls, ng),
+        })
+        nd = int(rng.randint(0, 40))
+        # half the dets are jittered copies of GT (real TPs exist)
+        boxes = []
+        for i in range(nd):
+            if ng and i % 2 == 0:
+                j = rng.randint(ng)
+                b = np.concatenate([ctr[j] + rng.normal(0, 0.1, 3),
+                                    dim[j] * rng.uniform(0.8, 1.2, 3)])
+            else:
+                b = np.concatenate([rng.uniform(-4, 4, 3),
+                                    rng.uniform(0.3, 2.0, 3)])
+            boxes.append(np.concatenate([b, [0.0]]))
+        boxes = (np.asarray(boxes, np.float32) if nd
+                 else np.zeros((0, 7), np.float32))
+        # convert gravity-centered sample to bottom-centered det input
+        boxes[:, 2] -= boxes[:, 5] / 2
+        det_infos.append({
+            "labels_3d": rng.randint(0, n_cls, nd),
+            "scores_3d": rng.uniform(0, 1, nd),
+            "boxes_3d": DepthBoxes3D(boxes, origin=(0.5, 0.5, 0)),
+        })
+    label2cat = {i: f"c{i}" for i in range(n_cls)}
+    got = indoor_eval(gt_annos, det_infos, [0.25, 0.5], label2cat)
+    want = _brute_force_map(gt_annos, det_infos, [0.25, 0.5], label2cat)
+    for k, v in want.items():
+        assert np.isclose(got[k], v, atol=1e-6), (k, got[k], v)
