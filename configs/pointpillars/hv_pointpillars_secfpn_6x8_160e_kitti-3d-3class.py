@@ -1,0 +1,9 @@
+# PointPillars on KITTI 3-class (reference
+# `configs/pointpillars/hv_pointpillars_secfpn_6x8_160e_kitti-3d-3class.py`).
+_base_ = [
+    '../_base_/models/hv_pointpillars_secfpn_kitti.py',
+    '../_base_/datasets/kitti-3d-3class.py',
+    '../_base_/schedules/cyclic_40e.py',
+    '../_base_/default_runtime.py',
+]
+total_epochs = 160

@@ -90,6 +90,18 @@ def _build_votenet(cfg: dict, meta: SceneMeta = None,
     )
 
 
+@register_model("VoxelNet")
+@register_model("DynamicVoxelNet")
+def _build_voxelnet(cfg: dict, meta: SceneMeta = None,
+                    compute_dtype=jnp.float32):
+    """LiDAR single-stage detectors (reference `detectors/voxelnet.py`,
+    `dynamic_voxelnet.py`). Returns the model; use
+    `models.voxelnet.build_voxelnet` for (model, anchors)."""
+    from .voxelnet import build_voxelnet
+
+    return build_voxelnet(cfg, compute_dtype=compute_dtype)[0]
+
+
 def build_model(model_cfg: dict, meta: SceneMeta = None,
                 compute_dtype=jnp.float32):
     """Construct a model module from a config ``model`` dict."""

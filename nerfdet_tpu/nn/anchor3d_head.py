@@ -70,19 +70,65 @@ def get_direction_target(anchors, reg_targets, dir_offset: float = 0.0,
     return jnp.clip(cls, 0, num_bins - 1)
 
 
+def nearest_bev_iou(a, b):
+    """(A, G) IoU from axis-aligned BEV footprints x height overlap —
+    the reference's BboxOverlapsNearest3D on gravity-aligned boxes."""
+    from ..core.boxes import axis_aligned_bev_overlap, height_overlap
+
+    inter = axis_aligned_bev_overlap(a, b) * height_overlap(a, b)
+    va = (a[:, 3] * a[:, 4] * a[:, 5])[:, None]
+    vg = (b[:, 3] * b[:, 4] * b[:, 5])[None, :]
+    return inter / jnp.clip(va + vg - inter, 1e-8, None)
+
+
+def assign_anchors_per_class(anchors, gt_boxes, gt_labels, gt_mask,
+                             assigners: Sequence[Dict]):
+    """Per-class anchor assignment (reference `train_mixins.py`
+    ``anchor_target_3d`` with a list-typed assigner config).
+
+    Anchor size-group ``c`` is matched only against class-``c`` GT with
+    class-``c`` thresholds.
+
+    Args:
+        anchors: (H, W, S, R, 7) with S == num_classes size groups.
+        assigners: per-class dicts with pos_iou_thr/neg_iou_thr/
+            min_pos_iou.
+
+    Returns flattened (H*W*S*R,) assignment in mmdet convention.
+    """
+    h, w, s, r, code = anchors.shape
+    assert len(assigners) == s, (len(assigners), s)
+    flat = anchors.reshape(-1, code)
+    ious = nearest_bev_iou(flat, gt_boxes).reshape(h * w, s, r, -1)
+    assigned = jnp.zeros((h * w, s, r), jnp.int32)
+    for c, cfg in enumerate(assigners):
+        m_c = gt_mask & (gt_labels == c)
+        asg = max_iou_assign(
+            ious[:, c].reshape(h * w * r, -1), m_c,
+            pos_iou_thr=cfg["pos_iou_thr"],
+            neg_iou_thr=cfg["neg_iou_thr"],
+            min_pos_iou=cfg["min_pos_iou"])
+        assigned = assigned.at[:, c].set(asg.reshape(h * w, r))
+    return assigned.reshape(-1)
+
+
 def anchor3d_head_loss(cls_score, bbox_pred, dir_cls, anchors,
                        gt_boxes, gt_labels, gt_mask,
                        num_classes: int,
                        pos_iou_thr: float = 0.6,
                        neg_iou_thr: float = 0.45,
                        min_pos_iou: float = 0.45,
-                       dir_offset: float = 0.0) -> Dict:
+                       dir_offset: float = 0.0,
+                       assigned=None) -> Dict:
     """Single-level, single-scene anchored loss.
 
     Args:
         cls_score/bbox_pred/dir_cls: raw head outputs (H, W, A*...).
         anchors: (H, W, A, 7) grid anchors (bottom-centered).
         gt_boxes: (G, 7) bottom-centered padded; gt_mask validity.
+        assigned: optional precomputed (N,) assignment (e.g. from
+            :func:`assign_anchors_per_class`); when None a single
+            MaxIoU assignment with the given thresholds is used.
 
     Assignment uses nearest-BEV IoU (yaw-free axis-aligned BEV overlap
     of gravity-aligned boxes — the reference's BboxOverlapsNearest3D).
@@ -94,19 +140,12 @@ def anchor3d_head_loss(cls_score, bbox_pred, dir_cls, anchors,
     if dir_cls is not None:
         dir_cls = dir_cls.reshape(n, 2)
 
-    # nearest-BEV IoU (axis-aligned boxes from w/l footprints)
-    from ..core.boxes import axis_aligned_bev_overlap, height_overlap
-
-    bev_i = axis_aligned_bev_overlap(a, gt_boxes)
-    h_i = height_overlap(a, gt_boxes)
-    inter = bev_i * h_i
-    va = (a[:, 3] * a[:, 4] * a[:, 5])[:, None]
-    vg = (gt_boxes[:, 3] * gt_boxes[:, 4] * gt_boxes[:, 5])[None, :]
-    ious = inter / jnp.clip(va + vg - inter, 1e-8, None)
-
-    assigned = max_iou_assign(ious, gt_mask, pos_iou_thr=pos_iou_thr,
-                              neg_iou_thr=neg_iou_thr,
-                              min_pos_iou=min_pos_iou)
+    if assigned is None:
+        ious = nearest_bev_iou(a, gt_boxes)
+        assigned = max_iou_assign(ious, gt_mask,
+                                  pos_iou_thr=pos_iou_thr,
+                                  neg_iou_thr=neg_iou_thr,
+                                  min_pos_iou=min_pos_iou)
     pos = assigned > 0
     neg = assigned == 0
     gt_idx = jnp.clip(assigned - 1, 0, None)

@@ -9,7 +9,8 @@ import pytest
 CONFIGS = sorted(glob.glob(os.path.join(
     os.path.dirname(__file__), "..", "configs", "**", "*.py"),
     recursive=True))
-CONFIGS = [c for c in CONFIGS if not os.path.basename(c).startswith("_")]
+CONFIGS = [c for c in CONFIGS if not os.path.basename(c).startswith("_")
+           and os.sep + "_base_" + os.sep not in c]
 
 
 def test_configs_found():
@@ -25,6 +26,10 @@ def test_config_builds_model(path):
 
     cfg = Config.fromfile(path)
     assert "model" in cfg and "data" in cfg and "optimizer" in cfg
+    if cfg.model["type"] in ("VoxelNet", "DynamicVoxelNet"):
+        model = build_model(cfg.model)
+        assert model.bbox_head.num_classes == len(cfg.class_names)
+        return
     meta = scene_meta_from_config(cfg)
     model = build_model(cfg.model, meta=meta)
     assert model.n_classes == len(cfg.class_names)
