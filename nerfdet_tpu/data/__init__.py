@@ -10,4 +10,8 @@ from .pipeline import (  # noqa: F401
     imnormalize, imdenormalize, imresize_keep_ratio,
 )
 from .dataset import ScanNetMultiViewDataset, build_dataset  # noqa: F401
-from .synthetic import make_synthetic_scene, write_synthetic_scannet  # noqa: F401
+from .kitti_dataset import KittiDataset  # noqa: F401
+from .kitti_etl import create_kitti_infos  # noqa: F401
+from .synthetic import (  # noqa: F401
+    make_synthetic_scene, write_synthetic_kitti, write_synthetic_scannet,
+)

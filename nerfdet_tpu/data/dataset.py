@@ -228,6 +228,19 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
     if data_cfg.get("type") == "RepeatDataset":
         repeat = data_cfg["times"]
         data_cfg = data_cfg["dataset"]
+    if data_cfg.get("type") == "KittiDataset":
+        from .kitti_dataset import KittiDataset
+
+        return KittiDataset(
+            data_root=data_cfg["data_root"],
+            ann_file=data_cfg["ann_file"],
+            split=data_cfg.get("split", "training"),
+            classes=data_cfg.get("classes",
+                                 ("Car", "Pedestrian", "Cyclist")),
+            n_points=data_cfg.get("max_points", 16384),
+            pipeline=data_cfg.get("pipeline"),
+            test_mode=test_mode or data_cfg.get("test_mode", False),
+        )
     pcfg = {d["type"]: d for d in data_cfg["pipeline"]}
     mv = pcfg.get("MultiViewPipeline", {})
     transforms = {t["type"]: t for t in mv.get("transforms", [])}

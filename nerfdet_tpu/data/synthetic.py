@@ -280,3 +280,91 @@ def write_synthetic_scannet(root: str, n_scenes: int = 2,
                   "wb") as fp:
             pickle.dump(infos, fp)
     return root
+
+
+def write_synthetic_kitti(root: str, n_samples: int = 3,
+                          cars_per_sample: int = 15, seed: int = 0,
+                          split: str = "train") -> str:
+    """Raw-layout synthetic KITTI fixture (velodyne/calib/label_2).
+
+    Cars are placed on a near-field grid (z <= 20 m) so every GT clears
+    the easy-difficulty pixel-height gate; points are sampled inside
+    each box plus ground clutter. Camera convention: x right, y down,
+    z forward; lidar: x forward, y left, z up.
+    """
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
+    sub = os.path.join(root, "training")
+    for d in ("velodyne", "calib", "label_2"):
+        os.makedirs(os.path.join(sub, d), exist_ok=True)
+
+    # velo -> cam: cam_x = -y_l, cam_y = -z_l, cam_z = x_l
+    trv2c = np.array([[0., -1., 0., 0.],
+                      [0., 0., -1., 0.],
+                      [1., 0., 0., 0.]])
+    fx, cx, cy = 700.0, 620.0, 180.0
+    p2 = np.array([[fx, 0., cx, 0.], [0., fx, cy, 0.], [0., 0., 1., 0.]])
+
+    calib_txt = "\n".join(
+        [f"P{i}: " + " ".join(f"{v:.6e}" for v in p2.reshape(-1))
+         for i in range(4)]
+        + ["R0_rect: " + " ".join(
+            f"{v:.6e}" for v in np.eye(3).reshape(-1)),
+           "Tr_velo_to_cam: " + " ".join(
+            f"{v:.6e}" for v in trv2c.reshape(-1)),
+           "Tr_imu_to_velo: " + " ".join(
+            f"{v:.6e}" for v in trv2c.reshape(-1))]) + "\n"
+
+    for idx in range(n_samples):
+        stem = f"{idx:06d}"
+        rows = []
+        all_pts = [np.stack([
+            rng.uniform(1, 60, 800), rng.uniform(-30, 30, 800),
+            np.full(800, -1.7) + rng.uniform(0, 0.05, 800),
+            rng.uniform(0, 1, 800)], axis=1)]
+        # grid placement: no overlaps
+        cols = 5
+        for c in range(cars_per_sample):
+            gx = c % cols
+            gy = c // cols
+            z_c = 8.0 + gy * 5.0 + rng.uniform(-0.5, 0.5)
+            x_c = (gx - cols // 2) * 3.0 + rng.uniform(-0.3, 0.3)
+            y_c = 1.65
+            l, h, w = 3.9 + rng.uniform(-.2, .2), 1.55, 1.6
+            ry = rng.uniform(-np.pi, np.pi)
+            alpha = ry - np.arctan2(x_c, z_c)
+            # project the 8 camera-frame corners for the 2D label box
+            ux = np.array([-.5, -.5, -.5, -.5, .5, .5, .5, .5]) * l
+            uy = np.array([-1., -1., 0., 0., -1., -1., 0., 0.]) * h
+            uz = np.array([-.5, .5, -.5, .5, -.5, .5, -.5, .5]) * w
+            cc, ss = np.cos(ry), np.sin(ry)
+            cxs = cc * ux + ss * uz + x_c
+            czs = -ss * ux + cc * uz + z_c
+            cys = uy + y_c
+            # KITTI labels store image-clamped 2D boxes (the canonical
+            # image is 1242x375)
+            us = np.clip(fx * cxs / czs + cx, 0.0, 1242.0)
+            vs = np.clip(fx * cys / czs + cy, 0.0, 375.0)
+            rows.append(
+                f"Car 0.00 0 {alpha:.6f} {us.min():.4f} {vs.min():.4f} "
+                f"{us.max():.4f} {vs.max():.4f} {h:.6f} {w:.6f} {l:.6f} "
+                f"{x_c:.6f} {y_c:.6f} {z_c:.6f} {ry:.6f}")
+            # points inside the box, in lidar frame
+            # (x_l=z_c', y_l=-x_c', z_l=-y_c')
+            m = 60
+            px = rng.uniform(-l / 2, l / 2, m)
+            py = rng.uniform(-h, 0, m) + y_c
+            pz = rng.uniform(-w / 2, w / 2, m)
+            pxc = cc * px + ss * pz + x_c
+            pzc = -ss * px + cc * pz + z_c
+            all_pts.append(np.stack(
+                [pzc, -pxc, -py, rng.uniform(0, 1, m)], axis=1))
+        with open(os.path.join(sub, "label_2", stem + ".txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+        with open(os.path.join(sub, "calib", stem + ".txt"), "w") as f:
+            f.write(calib_txt)
+        pts = np.concatenate(all_pts).astype(np.float32)
+        pts.tofile(os.path.join(sub, "velodyne", stem + ".bin"))
+    with open(os.path.join(root, "ImageSets", f"{split}.txt"), "w") as f:
+        f.write("\n".join(f"{i:06d}" for i in range(n_samples)) + "\n")
+    return root

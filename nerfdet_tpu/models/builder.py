@@ -102,6 +102,17 @@ def _build_voxelnet(cfg: dict, meta: SceneMeta = None,
     return build_voxelnet(cfg, compute_dtype=compute_dtype)[0]
 
 
+@register_model("CenterPoint")
+def _build_centerpoint(cfg: dict, meta: SceneMeta = None,
+                       compute_dtype=jnp.float32):
+    """Center-based LiDAR detector (reference
+    `detectors/centerpoint.py`). Returns the model; use
+    `models.centerpoint.build_centerpoint` for (model, aux)."""
+    from .centerpoint import build_centerpoint
+
+    return build_centerpoint(cfg, compute_dtype=compute_dtype)[0]
+
+
 def build_model(model_cfg: dict, meta: SceneMeta = None,
                 compute_dtype=jnp.float32):
     """Construct a model module from a config ``model`` dict."""
