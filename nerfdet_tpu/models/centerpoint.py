@@ -101,8 +101,7 @@ def build_centerpoint(cfg: Dict, compute_dtype=jnp.float32):
                     / np.asarray(vs)).astype(int)  # (nx, ny, nz)
     if me["type"] == "PointPillarsScatter":
         middle = PointPillarsScatter(
-            in_channels=me.get("in_channels", 64),
-            output_shape=(int(grid[1]), int(grid[0])), dtype=compute_dtype)
+            output_shape=(int(grid[1]), int(grid[0])))
         out_size_factor_base = 1
     else:  # SparseEncoder dense twin
         enc_ch = tuple(tuple(c) for c in me.get(

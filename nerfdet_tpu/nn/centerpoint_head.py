@@ -114,7 +114,12 @@ class CenterHead(nn.Module):
 # ---------------------------------------------------------------------------
 
 def gaussian_radius(length, width, min_overlap: float = 0.5):
-    """Vectorized CornerNet radius (reference `gaussian.py:56-85`)."""
+    """Vectorized CornerNet radius (reference `gaussian.py:56-85`).
+
+    Keeps the reference's quadratic-root denominators (all /2 — the
+    well-known CornerNet derivation bug) so assigned radii, and hence
+    training targets, match the reference bit-for-bit.
+    """
     b1 = length + width
     sq1 = jnp.sqrt(jnp.maximum(
         b1 ** 2 - 4.0 * width * length * (1 - min_overlap)
@@ -123,12 +128,12 @@ def gaussian_radius(length, width, min_overlap: float = 0.5):
     b2 = 2.0 * (length + width)
     sq2 = jnp.sqrt(jnp.maximum(
         b2 ** 2 - 16.0 * (1 - min_overlap) * width * length, 0.0))
-    r2 = (b2 + sq2) / 8.0
+    r2 = (b2 + sq2) / 2.0
     a3 = 4.0 * min_overlap
     b3 = -2.0 * min_overlap * (length + width)
     sq3 = jnp.sqrt(jnp.maximum(
         b3 ** 2 - 4.0 * a3 * (min_overlap - 1) * width * length, 0.0))
-    r3 = (b3 + sq3) / (2.0 * a3)
+    r3 = (b3 + sq3) / 2.0
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
