@@ -1,0 +1,171 @@
+"""Train/eval runtime for the point-cloud model families.
+
+Generic mesh-data-parallel train step for one-scene LiDAR detectors
+(VoxelNet / DynamicVoxelNet / PointPillars / CenterPoint): the same
+vmap-over-scenes + mean-reduction pattern as the flagship NeRF-Det step
+(`train/step.py`) — XLA emits the gradient psum over the mesh — with a
+pluggable per-scene loss so every family trains through the same
+`tools/train.py` loop the reference drives via its runner
+(`tools/train.py:155-162` in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .step import TrainState
+
+
+def make_points_train_step(model, tx: optax.GradientTransformation,
+                           scene_loss: Callable,
+                           donate: bool = True) -> Callable:
+    """Build a jitted train step from a per-scene loss.
+
+    ``scene_loss(params, batch_stats, scene, rng) -> (terms, new_stats)``
+    where ``terms`` is a dict of scalar losses that must include every
+    component to optimize (summed into ``loss``).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        keys = jax.random.split(rng, b)
+        terms, new_stats = jax.vmap(
+            lambda scene, key: scene_loss(params, batch_stats, scene,
+                                          key))(batch, keys)
+        new_stats = jax.tree_util.tree_map(
+            lambda x: x.mean(axis=0), new_stats)
+        metrics = {k: jnp.mean(v) for k, v in terms.items()}
+        loss = sum(v for k, v in metrics.items()
+                   if k.startswith("loss"))
+        metrics["loss"] = loss
+        return loss, (metrics, new_stats)
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(params=params, batch_stats=new_stats,
+                          opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def voxelnet_scene_loss(model, anchors, train_cfg: Dict,
+                        num_classes: int, dir_offset: float = 0.0):
+    """Per-scene loss closure for the anchored LiDAR family."""
+    from ..models.voxelnet import voxelnet_loss
+
+    assigner = train_cfg.get("assigner", dict(
+        pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.45))
+    anchors = jnp.asarray(anchors)
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs, mutated = model.apply(variables, scene["points"],
+                                    train=True, mutable=["batch_stats"])
+        gt_mask = scene["gt_labels_3d"] >= 0
+        losses = voxelnet_loss(
+            outs, anchors, scene["gt_bboxes_3d"],
+            jnp.maximum(scene["gt_labels_3d"], 0), gt_mask,
+            num_classes=num_classes, assigners=assigner,
+            dir_offset=dir_offset)
+        terms = {k: v for k, v in losses.items()
+                 if k.startswith("loss")}
+        terms["n_pos"] = losses.get("n_pos", jnp.zeros(()))
+        return terms, mutated["batch_stats"]
+
+    return f
+
+
+def centerpoint_scene_loss(model, aux: Dict):
+    """Per-scene loss closure for CenterPoint."""
+    from ..models.centerpoint import (centerpoint_loss_from_aux,
+                                      centerpoint_targets_from_aux)
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(variables, scene["points"],
+                                     train=True, mutable=["batch_stats"])
+        tgts = centerpoint_targets_from_aux(
+            scene["gt_bboxes_3d"], scene["gt_labels_3d"], aux)
+        losses = centerpoint_loss_from_aux(preds, tgts, aux)
+        return losses, mutated["batch_stats"]
+
+    return f
+
+
+def run_points_eval(model, variables, dataset, model_cfg: Dict,
+                    aux=None, anchors=None, logger=None,
+                    score_thr: float = 0.1, nms_pre: int = 100,
+                    max_out: int = 50) -> Dict:
+    """Whole-dataset inference + dataset-protocol evaluation.
+
+    Device side is one jitted forward+decode per scene; NMS and anno
+    formatting run host-side, then ``dataset.evaluate`` applies the
+    dataset's own protocol (KITTI eval for KittiDataset).
+    """
+    from ..core.nms import box3d_multiclass_nms
+
+    mtype = model_cfg["type"]
+    results = []
+    if mtype == "CenterPoint":
+        from ..models.centerpoint import centerpoint_detect
+
+        fwd = jax.jit(lambda v, pts: model.apply(v, pts, train=False))
+        for i in range(len(dataset)):
+            item = dataset[i]
+            preds = fwd(variables, jnp.asarray(item["points"]))
+            preds = [{k: np.asarray(v) for k, v in p.items()}
+                     for p in preds]
+            boxes, scores, labels = centerpoint_detect(preds, aux)
+            results.append(dict(boxes_3d=boxes, scores_3d=scores,
+                                labels_3d=labels))
+    else:
+        from ..models.voxelnet import voxelnet_get_bboxes
+
+        num_classes = model_cfg["bbox_head"]["num_classes"]
+        anchors = jnp.asarray(anchors)
+
+        def fwd(v, pts):
+            outs = model.apply(v, pts, train=False)
+            return voxelnet_get_bboxes(outs, anchors, num_classes,
+                                       nms_pre=nms_pre)
+
+        fwd = jax.jit(fwd)
+        for i in range(len(dataset)):
+            item = dataset[i]
+            boxes, scores, dirs = jax.device_get(
+                fwd(variables, jnp.asarray(item["points"])))
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            # background column + BEV boxes for the rotated NMS
+            # (reference `anchor3d_head.get_bboxes:509-517`)
+            padded = np.concatenate(
+                [scores, np.zeros_like(scores[:, :1])], axis=1)
+            bev = boxes[:, [0, 1, 3, 4, 6]]
+            keep_b, keep_s, keep_l = box3d_multiclass_nms(
+                boxes, bev, padded, score_thr=score_thr,
+                max_num=max_out)
+            results.append(dict(boxes_3d=keep_b, scores_3d=keep_s,
+                                labels_3d=keep_l))
+    metrics = dataset.evaluate(results)
+    if logger is not None:
+        report = metrics.pop("report", None)
+        if report:
+            logger.info("\n" + report)
+        logger.info("Eval: " + " ".join(
+            f"{k}: {v}" for k, v in sorted(metrics.items())
+            if isinstance(v, (int, float))))
+    return metrics

@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main():
     p = argparse.ArgumentParser(description="Data converter")
-    p.add_argument("dataset", choices=["scannet", "synthetic"])
+    p.add_argument("dataset",
+                   choices=["scannet", "kitti", "synthetic",
+                            "synthetic-kitti"])
     p.add_argument("--root-path", required=True)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--workers", type=int, default=4)
@@ -37,6 +39,29 @@ def main():
         create_scannet_info_file(
             args.root_path, out_dir=args.out_dir,
             num_workers=args.workers)
+    elif args.dataset == "kitti":
+        from nerfdet_tpu.data.kitti_etl import create_kitti_infos
+
+        written = create_kitti_infos(
+            args.root_path, out_dir=args.out_dir,
+            splits=("train", "val"))
+        print(f"[kitti] wrote {written}")
+    elif args.dataset == "synthetic-kitti":
+        from nerfdet_tpu.data.kitti_etl import create_kitti_infos
+        from nerfdet_tpu.data.synthetic import write_synthetic_kitti
+
+        write_synthetic_kitti(args.root_path, n_samples=args.n_scenes,
+                              split="train")
+        # reuse the train ids as val for smoke runs
+        ids = open(os.path.join(args.root_path, "ImageSets",
+                                "train.txt")).read()
+        with open(os.path.join(args.root_path, "ImageSets",
+                               "val.txt"), "w") as f:
+            f.write(ids)
+        written = create_kitti_infos(
+            args.root_path, out_dir=args.out_dir,
+            splits=("train", "val"))
+        print(f"[synthetic-kitti] wrote {written}")
     else:
         from nerfdet_tpu.data.synthetic import write_synthetic_scannet
 

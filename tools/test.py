@@ -47,6 +47,37 @@ def main():
         cfg.merge_from_options(args.options)
     logger = get_root_logger()
 
+    if cfg.model["type"] in ("VoxelNet", "DynamicVoxelNet",
+                             "CenterPoint"):
+        import jax.numpy as jnp
+
+        from nerfdet_tpu.train.points_step import run_points_eval
+
+        dataset = build_dataset(cfg.data["test"], test_mode=True)
+        if args.max_scenes:
+            dataset.data_infos = dataset.data_infos[: args.max_scenes]
+        aux = anchors = None
+        if cfg.model["type"] == "CenterPoint":
+            from nerfdet_tpu.models.centerpoint import build_centerpoint
+
+            model, aux = build_centerpoint(cfg.model)
+        else:
+            from nerfdet_tpu.models.voxelnet import build_voxelnet
+
+            model, anchors = build_voxelnet(cfg.model)
+        ckpt = load_checkpoint(args.checkpoint)
+        variables = dict(params=ckpt["params"],
+                         batch_stats=ckpt.get("batch_stats", {}))
+        metrics = run_points_eval(model, variables, dataset, cfg.model,
+                                  aux=aux, anchors=anchors,
+                                  logger=logger)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(metrics, f, indent=2)
+        print(json.dumps({k: v for k, v in metrics.items()
+                          if isinstance(v, (int, float))}, indent=2))
+        return
+
     use_depth = cfg.get("input_modality", {}).get("use_depth", False)
     dataset = build_dataset(cfg.data["test"], test_mode=True,
                             use_depth=use_depth)

@@ -54,6 +54,127 @@ def parse_args():
     return p.parse_args()
 
 
+POINTS_MODELS = ("VoxelNet", "DynamicVoxelNet", "CenterPoint")
+
+
+def train_points(args, cfg, work_dir, logger):
+    """Training loop for the LiDAR families (SECOND / PointPillars /
+    DV-SECOND / CenterPoint) — same epoch/ckpt/eval skeleton as the
+    flagship path, with the family-specific per-scene loss plugged into
+    the generic mesh-DP step (`train/points_step.py`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config  # noqa: F401
+    from nerfdet_tpu.data.dataset import build_dataset
+    from nerfdet_tpu.data.loader import BatchLoader
+    from nerfdet_tpu.train import (TrainState, build_lr_schedule,
+                                   build_optimizer)
+    from nerfdet_tpu.train.points_step import (centerpoint_scene_loss,
+                                               make_points_train_step,
+                                               run_points_eval,
+                                               voxelnet_scene_loss)
+    from nerfdet_tpu.train.step import make_mesh, replicate, shard_batch
+    from nerfdet_tpu.utils import (MetricsLogger, load_checkpoint,
+                                   save_checkpoint)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    mtype = cfg.model["type"]
+    aux = anchors = None
+    if mtype == "CenterPoint":
+        from nerfdet_tpu.models.centerpoint import build_centerpoint
+
+        model, aux = build_centerpoint(cfg.model, compute_dtype=dtype)
+        scene_loss = None  # closed below
+    else:
+        from nerfdet_tpu.models.voxelnet import build_voxelnet
+
+        model, anchors = build_voxelnet(cfg.model, compute_dtype=dtype)
+
+    dataset = build_dataset(cfg.data["train"])
+    batch_size = args.batch_size or jax.local_device_count()
+    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
+                         num_workers=cfg.data.get("workers_per_gpu", 1),
+                         seed=args.seed)
+    steps_per_epoch = len(loader)
+    total_epochs = args.total_epochs or cfg.get("total_epochs", 40)
+    logger.info(f"{len(dataset)} samples, batch {batch_size}, "
+                f"{steps_per_epoch} steps/epoch, {total_epochs} epochs")
+
+    sample = dataset[0]
+    rng = jax.random.PRNGKey(args.seed)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.asarray(sample["points"]), train=True))(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if args.load_from or cfg.get("load_from"):
+        ckpt = load_checkpoint(args.load_from or cfg["load_from"])
+        params = ckpt["params"]
+        batch_stats = ckpt.get("batch_stats", batch_stats)
+        logger.info("loaded params from checkpoint")
+
+    sched = build_lr_schedule(
+        cfg.optimizer["lr"], steps_per_epoch,
+        decay_epochs=cfg.get("lr_config", {}).get(
+            "step", (total_epochs * 2 // 3, total_epochs * 11 // 12)))
+    tx = build_optimizer(
+        params, dict(cfg.optimizer),
+        grad_clip=cfg.get("optimizer_config", {}).get("grad_clip"),
+        lr_schedule=sched)
+    state = TrainState.create(params, batch_stats, tx)
+    if mtype == "CenterPoint":
+        scene_loss = centerpoint_scene_loss(model, aux)
+    else:
+        scene_loss = voxelnet_scene_loss(
+            model, anchors, cfg.get("train_cfg", {}),
+            num_classes=cfg.model["bbox_head"]["num_classes"],
+            dir_offset=cfg.model["bbox_head"].get("dir_offset", 0.0))
+    train_step = make_points_train_step(model, tx, scene_loss)
+    mlog = MetricsLogger(work_dir, logger,
+                         interval=cfg.get("log_config", {}).get(
+                             "interval", 50))
+    val_dataset = None
+    if not args.no_validate:
+        val_dataset = build_dataset(cfg.data["val"], test_mode=True)
+
+    mesh = make_mesh()
+    with mesh:
+        state = replicate(state, mesh)
+        step_rng = jax.random.PRNGKey(args.seed + 1)
+        done = False
+        for epoch in range(total_epochs):
+            for it, batch in enumerate(loader):
+                step_rng, sub = jax.random.split(step_rng)
+                state, metrics = train_step(
+                    state, shard_batch(batch, mesh), sub)
+                gstep = int(epoch * steps_per_epoch + it)
+                mlog.update(gstep, epoch + 1, jax.device_get(metrics),
+                            lr=float(sched(gstep)))
+                if args.max_steps and gstep + 1 >= args.max_steps:
+                    done = True
+                    break
+            payload = dict(params=state.params,
+                           batch_stats=state.batch_stats,
+                           opt_state=state.opt_state, step=state.step)
+            path = save_checkpoint(
+                os.path.join(work_dir, "ckpts"), epoch + 1,
+                jax.device_get(payload),
+                meta=dict(epoch=epoch + 1, config=args.config),
+                max_keep=cfg.get("checkpoint_config", {}).get(
+                    "max_keep_ckpts", -1))
+            logger.info(f"saved checkpoint {path}")
+            if val_dataset is not None:
+                variables = dict(
+                    params=jax.device_get(state.params),
+                    batch_stats=jax.device_get(state.batch_stats))
+                run_points_eval(model, variables, val_dataset,
+                                cfg.model, aux=aux, anchors=anchors,
+                                logger=logger)
+            if done:
+                break
+    logger.info("training complete")
+
+
 def main():
     args = parse_args()
     if args.distributed:
@@ -88,6 +209,9 @@ def main():
     logger.info("Environment:\n" + "\n".join(
         f"  {k}: {v}" for k, v in env.items()))
     logger.info(f"Config: {args.config}")
+
+    if cfg.model["type"] in POINTS_MODELS:
+        return train_points(args, cfg, work_dir, logger)
 
     # ---- data ---------------------------------------------------------
     use_depth = cfg.model.get("depth_supervise", False) or cfg.get(
