@@ -1,0 +1,9 @@
+# Indoor (VoteNet / H3DNet) AdamW step schedule — mirrors the reference
+# `configs/_base_/schedules/schedule_3x.py`.
+lr = 0.008
+optimizer = dict(type="AdamW", lr=lr, weight_decay=0.01)
+optimizer_config = dict(grad_clip=dict(max_norm=10, norm_type=2))
+lr_config = dict(policy="step", warmup=None, step=[24, 32])
+total_epochs = 36
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=30)

@@ -1,0 +1,71 @@
+# H3DNet on ScanNet (18-class). Mirrors the reference
+# `configs/h3dnet/h3dnet_8x3_scannet-3d-18class.py` +
+# `configs/_base_/models/h3dnet.py` surface.
+_base_ = [
+    "../_base_/datasets/scannet-3d-18class.py",
+    "../_base_/schedules/schedule_3x.py",
+]
+
+_mean_sizes = [[0.76966727, 0.8116021, 0.92573744],
+               [1.876858, 1.8425595, 1.1931566],
+               [0.61328, 0.6148609, 0.7182701],
+               [1.3955007, 1.5121545, 0.83443564],
+               [0.97949594, 1.0675149, 0.6329687],
+               [0.531663, 0.5955577, 1.7500148],
+               [0.9624706, 0.72462326, 1.1481868],
+               [0.83221924, 1.0490936, 1.6875663],
+               [0.21132214, 0.4206159, 0.5372846],
+               [1.4440073, 1.8970833, 0.26985747],
+               [1.0294262, 1.4040797, 0.87554324],
+               [1.3766412, 0.65521795, 1.6813129],
+               [0.6650819, 0.71111923, 1.298853],
+               [0.41999173, 0.37906948, 1.7513971],
+               [0.59359556, 0.5912492, 0.73919016],
+               [0.50867593, 0.50656086, 0.30136237],
+               [1.1511526, 1.0546296, 0.49706793],
+               [0.47535285, 0.49249494, 0.5802117]]
+
+model = dict(
+    type="H3DNet",
+    backbone=dict(
+        type="MultiBackbone",
+        num_streams=4,
+        backbone_cfg=dict(
+            in_channels=4,
+            num_points=(2048, 1024, 512, 256),
+            radii=(0.2, 0.4, 0.8, 1.2),
+            num_samples=(64, 32, 16, 16),
+            sa_channels=((64, 64, 128), (128, 128, 256),
+                         (128, 128, 256), (128, 128, 256)),
+            fp_channels=((256, 256), (256, 256)))),
+    rpn_head=dict(
+        type="VoteHead",
+        num_classes=18,
+        num_proposal=256,
+        bbox_coder=dict(
+            type="PartialBinBasedBBoxCoder",
+            num_sizes=18,
+            num_dir_bins=24,
+            with_rot=False,
+            mean_sizes=_mean_sizes)))
+
+data = dict(samples_per_gpu=3, workers_per_gpu=2)
+
+train_cfg = dict(
+    rpn=dict(pos_distance_thr=0.3, neg_distance_thr=0.6,
+             sample_mod="vote"),
+    rpn_proposal=dict(use_nms=False),
+    rcnn=dict(
+        pos_distance_thr=0.3, neg_distance_thr=0.6, sample_mod="vote",
+        far_threshold=0.6, near_threshold=0.3,
+        mask_surface_threshold=0.3, label_surface_threshold=0.3,
+        mask_line_threshold=0.3, label_line_threshold=0.3),
+    primitive=dict(
+        dist_thresh=0.2, var_thresh=1e-2, lower_thresh=1e-6,
+        num_point=100, num_point_line=10, line_thresh=0.2))
+
+test_cfg = dict(
+    rpn=dict(sample_mod="seed", nms_thr=0.25, score_thr=0.05,
+             per_class_proposal=True, use_nms=False),
+    rcnn=dict(sample_mod="seed", nms_thr=0.25, score_thr=0.05,
+              per_class_proposal=True))

@@ -186,6 +186,38 @@ def axis_aligned_iou_corner_format(boxes1, boxes2, aligned=True, eps=1e-6):
     return inter / xp.clip(union, eps, None)
 
 
+# The 6 face-center and 12 edge-center directions of a unit box, as
+# multiples of the half-extent along each axis (H3DNet's geometric cues;
+# reference `depth_box3d.py:get_surface_line_center` :277-326).
+_SURFACE_OFFSETS = np.asarray(
+    [[0, 0, 1], [0, 0, -1], [0, 1, 0], [0, -1, 0], [1, 0, 0], [-1, 0, 0]],
+    np.float32) / 2.0
+_LINE_OFFSETS = np.asarray(
+    [[1, 0, 1], [-1, 0, 1], [0, 1, 1], [0, -1, 1], [1, 0, -1], [-1, 0, -1],
+     [0, 1, -1], [0, -1, -1], [1, 1, 0], [1, -1, 0], [-1, 1, 0],
+     [-1, -1, 0]], np.float32) / 2.0
+
+
+def surface_line_centers(boxes):
+    """Face and edge centers of bottom-centered ``(N, 7)`` boxes.
+
+    Equivalent of the reference `depth_box3d.py:get_surface_line_center`
+    (:277-326): returns ``((N, 6, 3) surface centers, (N, 12, 3) line
+    centers)`` in the same face/edge order, rotated by each box's yaw
+    about +z. Works for numpy and jax inputs.
+    """
+    xp = np if isinstance(boxes, np.ndarray) else _jnp()
+    center = gravity_center(boxes)  # (N, 3)
+    dims = boxes[:, 3:6]
+    yaw = boxes[:, 6] if boxes.shape[-1] > 6 else xp.zeros(
+        boxes.shape[0], boxes.dtype)
+    surf = dims[:, None, :] * xp.asarray(_SURFACE_OFFSETS)[None]  # (N,6,3)
+    line = dims[:, None, :] * xp.asarray(_LINE_OFFSETS)[None]  # (N,12,3)
+    surf = rotation_3d_in_axis(surf, yaw, axis=2)
+    line = rotation_3d_in_axis(line, yaw, axis=2)
+    return center[:, None] + surf, center[:, None] + line
+
+
 def points_in_boxes(points, boxes):
     """(P, 3) points x (N, 7) bottom-centered boxes -> (P,) index of the
     first containing box, -1 if none.

@@ -193,13 +193,37 @@ class ScanNetPointsDataset(ScanNetMultiViewDataset):
     PointSample pipeline).
     """
 
-    def __init__(self, *args, n_points: int = 8192, **kwargs):
+    def __init__(self, *args, n_points: int = 8192, augment: bool = True,
+                 rot_range=(-0.087266, 0.087266), flip_ratio: float = 0.5,
+                 **kwargs):
         kwargs.setdefault("use_ray", False)
         super().__init__(*args, pipeline=kwargs.pop(
             "pipeline", None) or MultiViewPipeline(n_images=0,
                                                    nerf_target_views=0),
             **kwargs)
         self.n_points = n_points
+        self.augment = augment
+        self.rot_range = rot_range
+        self.flip_ratio = flip_ratio
+
+    def _indoor_augment(self, pts, boxes, rng):
+        """Reference ScanNet train augmentations (RandomFlip3D with both
+        BEV axes + small GlobalRotScaleTrans; for Depth-frame yaw-free
+        boxes the rotation moves centers only, `depth_box3d.py:rotate`).
+        The shift-height feature (col 3) is scale-invariant here
+        (scale_ratio_range is 1.0 in the reference config)."""
+        for axis in (0, 1):  # horizontal = x, vertical = y
+            if rng.rand() < self.flip_ratio:
+                pts[:, axis] *= -1
+                if len(boxes):
+                    boxes[:, axis] *= -1
+        angle = rng.uniform(*self.rot_range)
+        c, s = np.cos(angle), np.sin(angle)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        pts[:, :2] = pts[:, :2] @ rot.T
+        if len(boxes):
+            boxes[:, :2] = boxes[:, :2] @ rot.T
+        return pts, boxes
 
     def __getitem__(self, index: int) -> Dict:
         from .pipeline import (global_alignment, load_points,
@@ -213,9 +237,12 @@ class ScanNetPointsDataset(ScanNetMultiViewDataset):
         pts = global_alignment(
             pts, np.asarray(info["annos"]["axis_align_matrix"]))
         pts = sample_points(pts, self.n_points, rng)
-        boxes, labels, mask = pad_gt(
-            self.get_ann_info(index)["gt_bboxes_3d"],
-            self.get_ann_info(index)["gt_labels_3d"], self.max_gt)
+        ann = self.get_ann_info(index)
+        gt_boxes = np.array(ann["gt_bboxes_3d"], np.float32).reshape(-1, 7)
+        gt_labels = np.asarray(ann["gt_labels_3d"])
+        if self.augment and not self.test_mode:
+            pts, gt_boxes = self._indoor_augment(pts, gt_boxes, rng)
+        boxes, labels, mask = pad_gt(gt_boxes, gt_labels, self.max_gt)
         return dict(points=pts, gt_boxes=boxes, gt_labels=labels,
                     gt_mask=mask)
 
@@ -228,6 +255,48 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
     if data_cfg.get("type") == "RepeatDataset":
         repeat = data_cfg["times"]
         data_cfg = data_cfg["dataset"]
+    if data_cfg.get("type") == "ScanNetDataset":
+        # point-cloud modality (VoteNet / H3DNet families)
+        pcfg = {d["type"]: d for d in data_cfg.get("pipeline", [])}
+        rot = pcfg.get("GlobalRotScaleTrans", {})
+        return ScanNetPointsDataset(
+            data_root=data_cfg["data_root"],
+            ann_file=data_cfg["ann_file"],
+            classes=data_cfg.get("classes") or SCANNET_CLASSES,
+            n_points=pcfg.get("IndoorPointSample", {}).get(
+                "num_points", 40000),
+            augment="GlobalRotScaleTrans" in pcfg
+                    or "RandomFlip3D" in pcfg,
+            rot_range=tuple(rot.get("rot_range",
+                                    (-0.087266, 0.087266))),
+            flip_ratio=pcfg.get("RandomFlip3D", {}).get(
+                "flip_ratio_bev_horizontal", 0.5),
+            test_mode=test_mode or data_cfg.get("test_mode", False),
+            repeat_times=repeat,
+        )
+    if data_cfg.get("type") == "SUNRGBDDataset":
+        from .sunrgbd_dataset import SUNRGBD_CLASSES, SUNRGBDPointsDataset
+
+        pcfg = {d["type"]: d for d in data_cfg.get("pipeline", [])}
+        rot = pcfg.get("GlobalRotScaleTrans", {})
+        return SUNRGBDPointsDataset(
+            data_root=data_cfg["data_root"],
+            ann_file=data_cfg["ann_file"],
+            classes=data_cfg.get("classes") or SUNRGBD_CLASSES,
+            n_points=pcfg.get("IndoorPointSample", {}).get(
+                "num_points", 20000),
+            augment="GlobalRotScaleTrans" in pcfg
+                    or "RandomFlip3D" in pcfg,
+            rot_range=tuple(rot.get("rot_range",
+                                    (-0.523599, 0.523599))),
+            scale_range=tuple(rot.get("scale_ratio_range",
+                                      (0.85, 1.15))),
+            flip_ratio=pcfg.get("RandomFlip3D", {}).get(
+                "flip_ratio_bev_horizontal", 0.5),
+            filter_empty_gt=data_cfg.get("filter_empty_gt", True),
+            test_mode=test_mode or data_cfg.get("test_mode", False),
+            repeat_times=repeat,
+        )
     if data_cfg.get("type") == "KittiDataset":
         from .kitti_dataset import KittiDataset
 

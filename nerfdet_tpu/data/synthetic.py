@@ -262,6 +262,29 @@ def write_synthetic_scannet(root: str, n_scenes: int = 2,
                         os.path.join(root, rel[:-4] + ".png"))
                 img_paths.append(rel)
                 poses.append(c2w.astype(np.float32))
+            # point-cloud modality: box-surface + floor samples in the
+            # real ETL's (N, 6) float32 xyz+rgb .bin layout
+            # (`scannet_data_utils.py` points path)
+            pts_dir = os.path.join(root, "points")
+            os.makedirs(pts_dir, exist_ok=True)
+            cloud = []
+            for b, col in zip(boxes, colors):
+                n = 400
+                local = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+                face = rng.randint(0, 3, n)
+                sign = rng.randint(0, 2, n) * 2 - 1
+                local[np.arange(n), face] = 0.48 * sign
+                xyz = local * b[3:6] + [b[0], b[1], b[2] + b[5] / 2]
+                rgb = np.broadcast_to(col, (n, 3)).astype(np.float32)
+                cloud.append(np.concatenate([xyz, rgb], -1))
+            floor = rng.uniform([-4, -4, 0], [4, 4, 0.03],
+                                (800, 3)).astype(np.float32)
+            cloud.append(np.concatenate(
+                [floor, np.full((800, 3), 0.5, np.float32)], -1))
+            cloud = np.concatenate(cloud).astype(np.float32)
+            pts_rel = os.path.join("points", f"{scene}.bin")
+            cloud.tofile(os.path.join(root, pts_rel))
+
             # gravity-centered GT, reference info schema
             gt = boxes[:, :6].copy()
             gt[:, 2] += boxes[:, 5] / 2.0
@@ -269,6 +292,7 @@ def write_synthetic_scannet(root: str, n_scenes: int = 2,
                 img_paths=img_paths,
                 extrinsics=poses,
                 intrinsics=intr,
+                pts_path=pts_rel,
                 annos=dict(
                     gt_num=len(gt),
                     gt_boxes_upright_depth=gt.astype(np.float32),

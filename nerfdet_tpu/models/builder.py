@@ -90,6 +90,38 @@ def _build_votenet(cfg: dict, meta: SceneMeta = None,
     )
 
 
+@register_model("H3DNet")
+def _build_h3dnet(cfg: dict, meta: SceneMeta = None,
+                  compute_dtype=jnp.float32):
+    """Two-stage geometric-primitive detector (reference
+    `detectors/h3dnet.py` + `roi_heads/h3d_roi_head.py`)."""
+    from .h3dnet import H3DNet
+    from .votenet import SCANNET_MEAN_SIZES
+
+    rpn = cfg.get("rpn_head", {})
+    coder = rpn.get("bbox_coder", {})
+    backbone = cfg.get("backbone", {})
+    bcfg = backbone.get("backbone_cfg") or {}
+    # seeds = the last FP level's point count; the primitive heads'
+    # proposal count must equal it (reference config: both 1024)
+    num_points = bcfg.get("num_points", (2048, 1024, 512, 256))
+    n_fp = len(bcfg.get("fp_channels", ((256, 256), (256, 256))))
+    num_seed = num_points[len(num_points) - n_fp - 1]
+    return H3DNet(
+        num_classes=rpn.get("num_classes", 18),
+        num_dir_bins=coder.get("num_dir_bins", 24),
+        with_rot=coder.get("with_rot", False),
+        mean_sizes=tuple(tuple(m) for m in coder.get(
+            "mean_sizes", SCANNET_MEAN_SIZES)),
+        num_proposal=rpn.get("num_proposal", 256),
+        primitive_num_proposal=cfg.get("roi_head", {}).get(
+            "primitive_num_proposal", num_seed),
+        num_streams=backbone.get("num_streams", 4),
+        backbone_cfg=backbone.get("backbone_cfg"),
+        dtype=compute_dtype,
+    )
+
+
 @register_model("VoxelNet")
 @register_model("DynamicVoxelNet")
 def _build_voxelnet(cfg: dict, meta: SceneMeta = None,

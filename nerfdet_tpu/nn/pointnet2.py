@@ -56,15 +56,27 @@ class PointSAModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, features, train: bool = False):
-        """(N, 3), (N, C) or None -> ((S, 3), (S, C'), (S,) fps idx)."""
-        fps_idx = furthest_point_sample(xyz, self.num_point)
-        new_xyz = xyz[fps_idx]
+    def __call__(self, xyz, features, train: bool = False,
+                 target_xyz=None, sample_indices=None):
+        """(N, 3), (N, C) or None -> ((S, 3), (S, C'), (S,) fps idx).
+
+        ``target_xyz`` skips sampling and groups around the given (S, 3)
+        centers (the reference PointSAModule's ``target_xyz`` path used
+        by H3DNet's surface/line matchers); ``sample_indices`` supplies
+        externally chosen centers (the reference's 'seed'/'random'
+        sample modes).
+        """
+        if target_xyz is not None:
+            new_xyz, fps_idx = target_xyz, None
+        else:
+            fps_idx = (sample_indices if sample_indices is not None
+                       else furthest_point_sample(xyz, self.num_point))
+            new_xyz = xyz[fps_idx]
         group_idx = ball_query(new_xyz, xyz, self.radius, self.num_sample)
-        grouped = group_points(xyz, features, fps_idx, group_idx,
-                               use_xyz=self.use_xyz)  # (S, K, 3+C)
+        grouped = group_points(xyz, features, None, group_idx,
+                               use_xyz=self.use_xyz, new_xyz=new_xyz)
         out = SharedMLP(self.mlp_channels, self.dtype,
-                        name="mlp")(grouped, train)
+                        name="mlp")(grouped, train)  # (S, K, C')
         return new_xyz, out.max(axis=1), fps_idx
 
 

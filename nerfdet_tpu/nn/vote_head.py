@@ -36,11 +36,13 @@ class VoteHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat_dict: Dict, train: bool = False):
+    def __call__(self, feat_dict: Dict, train: bool = False,
+                 sample_mod: str = "vote"):
         """feat_dict: backbone output (fp_xyz/fp_features/fp_indices).
 
-        Returns the prediction dict (reference `forward`, 'vote'
-        sample mode).
+        Returns the prediction dict (reference `forward`). 'vote'
+        FPSes the votes; 'seed' FPSes the seeds and gathers the
+        matching votes (test mode, reference `vote_head.py:146-162`).
         """
         coder: PartialBinBasedBBoxCoder = self.bbox_coder
         seed_xyz = feat_dict["fp_xyz"][-1]
@@ -56,11 +58,18 @@ class VoteHead(nn.Module):
         agg_cfg = self.vote_aggregation_cfg or dict(
             num_point=self.num_proposal, radius=0.3, num_sample=16,
             mlp_channels=(128, 128, 128))
+        sample_indices = None
+        if sample_mod == "seed":
+            from ..ops.pointnet import furthest_point_sample
+
+            sample_indices = furthest_point_sample(
+                seed_xyz, agg_cfg["num_point"])
         agg_xyz, agg_feats, _ = PointSAModule(
             num_point=agg_cfg["num_point"], radius=agg_cfg["radius"],
             num_sample=agg_cfg["num_sample"],
             mlp_channels=agg_cfg["mlp_channels"], dtype=self.dtype,
-            name="vote_aggregation")(vote_xyz, vote_feats, train)
+            name="vote_aggregation")(vote_xyz, vote_feats, train,
+                                     sample_indices=sample_indices)
 
         x = SharedMLP(self.pred_layer_channels, self.dtype,
                       name="pred_mlp")(agg_feats, train)
@@ -78,6 +87,7 @@ class VoteHead(nn.Module):
             vote_points=vote_xyz,
             vote_features=vote_feats,
             aggregated_points=agg_xyz,
+            aggregated_features=agg_feats,
         )
         return results
 

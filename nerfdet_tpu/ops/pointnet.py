@@ -90,16 +90,18 @@ def gather_points(features, indices):
 
 
 def group_points(points, features, centers_idx, group_idx,
-                 use_xyz: bool = True):
+                 use_xyz: bool = True, new_xyz=None):
     """Query-and-group (reference `mmdet3d/ops/group_points`).
 
     Args:
         points: (N, 3); features: (N, C) or None.
-        centers_idx: (S,) FPS indices; group_idx: (S, K) ball-query.
+        centers_idx: (S,) FPS indices, or None with ``new_xyz`` giving
+            the (S, 3) group centers directly.
+        group_idx: (S, K) ball-query.
 
     Returns (S, K, 3[+C]) grouped local-offset xyz (+features).
     """
-    centers = points[centers_idx]  # (S, 3)
+    centers = new_xyz if centers_idx is None else points[centers_idx]
     grouped_xyz = points[group_idx] - centers[:, None, :]
     if features is None:
         return grouped_xyz

@@ -106,6 +106,80 @@ def centerpoint_scene_loss(model, aux: Dict):
     return f
 
 
+def votenet_scene_loss(model):
+    """Per-scene loss closure for VoteNet (indoor points)."""
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(variables, scene["points"],
+                                     train=True, mutable=["batch_stats"])
+        losses = model.loss(preds, scene["points"], scene["gt_boxes"],
+                            scene["gt_labels"], scene["gt_mask"])
+        terms = {("loss_" + k if not k.startswith("loss") else k): v
+                 for k, v in losses.items()}
+        return terms, mutated["batch_stats"]
+
+    return f
+
+
+def h3dnet_scene_loss(model, train_cfg: Dict = None):
+    """Per-scene loss closure for H3DNet (rpn + primitives + refine)."""
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(variables, scene["points"],
+                                     train=True, mutable=["batch_stats"])
+        losses = model.loss(preds, scene["points"], scene["gt_boxes"],
+                            scene["gt_labels"], scene["gt_mask"],
+                            train_cfg)
+        terms = {("loss_" + k if not k.startswith("loss") else k): v
+                 for k, v in losses.items()}
+        return terms, mutated["batch_stats"]
+
+    return f
+
+
+def run_indoor_points_eval(model, variables, dataset, model_cfg: Dict,
+                           logger=None) -> Dict:
+    """Whole-dataset inference + indoor (ScanNet) eval protocol for the
+    VoteNet / H3DNet families: jitted forward+decode per scene, host
+    aligned-NMS tail, then ``dataset.evaluate`` (indoor_eval)."""
+    from ..models.votenet import votenet_nms
+
+    mtype = model_cfg["type"]
+    if mtype == "H3DNet":
+        from ..models.h3dnet import h3dnet_get_bboxes
+
+        def fwd(v, pts):
+            preds = model.apply(v, pts, train=False, sample_mod="seed")
+            return h3dnet_get_bboxes(preds, model.bbox_coder)
+    else:
+        from ..nn.vote_head import vote_head_get_bboxes
+
+        def fwd(v, pts):
+            preds = model.apply(v, pts, train=False)
+            return vote_head_get_bboxes(preds, model.bbox_coder)
+
+    fwd = jax.jit(fwd)
+    results = []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        boxes, obj, sem = jax.device_get(
+            fwd(variables, jnp.asarray(item["points"])))
+        results.append(votenet_nms(
+            np.asarray(boxes), np.asarray(obj), np.asarray(sem),
+            item["points"][:, :3]))
+    metrics = dataset.evaluate(results)
+    if logger is not None:
+        report = metrics.pop("report", None)
+        if report:
+            logger.info("\n" + report)
+        logger.info("Eval: " + " ".join(
+            f"{k}: {v:.4f}" for k, v in sorted(metrics.items())
+            if isinstance(v, (int, float))))
+    return metrics
+
+
 def run_points_eval(model, variables, dataset, model_cfg: Dict,
                     aux=None, anchors=None, logger=None,
                     score_thr: float = 0.1, nms_pre: int = 100,

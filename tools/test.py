@@ -48,10 +48,11 @@ def main():
     logger = get_root_logger()
 
     if cfg.model["type"] in ("VoxelNet", "DynamicVoxelNet",
-                             "CenterPoint"):
+                             "CenterPoint", "VoteNet", "H3DNet"):
         import jax.numpy as jnp
 
-        from nerfdet_tpu.train.points_step import run_points_eval
+        from nerfdet_tpu.train.points_step import (run_indoor_points_eval,
+                                                   run_points_eval)
 
         dataset = build_dataset(cfg.data["test"], test_mode=True)
         if args.max_scenes:
@@ -61,6 +62,8 @@ def main():
             from nerfdet_tpu.models.centerpoint import build_centerpoint
 
             model, aux = build_centerpoint(cfg.model)
+        elif cfg.model["type"] in ("VoteNet", "H3DNet"):
+            model = build_model(cfg.model)
         else:
             from nerfdet_tpu.models.voxelnet import build_voxelnet
 
@@ -68,9 +71,13 @@ def main():
         ckpt = load_checkpoint(args.checkpoint)
         variables = dict(params=ckpt["params"],
                          batch_stats=ckpt.get("batch_stats", {}))
-        metrics = run_points_eval(model, variables, dataset, cfg.model,
-                                  aux=aux, anchors=anchors,
-                                  logger=logger)
+        if cfg.model["type"] in ("VoteNet", "H3DNet"):
+            metrics = run_indoor_points_eval(model, variables, dataset,
+                                             cfg.model, logger=logger)
+        else:
+            metrics = run_points_eval(model, variables, dataset,
+                                      cfg.model, aux=aux,
+                                      anchors=anchors, logger=logger)
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(metrics, f, indent=2)

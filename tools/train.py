@@ -54,7 +54,9 @@ def parse_args():
     return p.parse_args()
 
 
-POINTS_MODELS = ("VoxelNet", "DynamicVoxelNet", "CenterPoint")
+POINTS_MODELS = ("VoxelNet", "DynamicVoxelNet", "CenterPoint",
+                 "VoteNet", "H3DNet")
+INDOOR_POINTS_MODELS = ("VoteNet", "H3DNet")
 
 
 def train_points(args, cfg, work_dir, logger):
@@ -71,8 +73,11 @@ def train_points(args, cfg, work_dir, logger):
     from nerfdet_tpu.train import (TrainState, build_lr_schedule,
                                    build_optimizer)
     from nerfdet_tpu.train.points_step import (centerpoint_scene_loss,
+                                               h3dnet_scene_loss,
                                                make_points_train_step,
+                                               run_indoor_points_eval,
                                                run_points_eval,
+                                               votenet_scene_loss,
                                                voxelnet_scene_loss)
     from nerfdet_tpu.train.step import make_mesh, replicate, shard_batch
     from nerfdet_tpu.utils import (MetricsLogger, load_checkpoint,
@@ -85,7 +90,10 @@ def train_points(args, cfg, work_dir, logger):
         from nerfdet_tpu.models.centerpoint import build_centerpoint
 
         model, aux = build_centerpoint(cfg.model, compute_dtype=dtype)
-        scene_loss = None  # closed below
+    elif mtype in INDOOR_POINTS_MODELS:
+        from nerfdet_tpu.models.builder import build_model
+
+        model = build_model(cfg.model, compute_dtype=dtype)
     else:
         from nerfdet_tpu.models.voxelnet import build_voxelnet
 
@@ -124,6 +132,10 @@ def train_points(args, cfg, work_dir, logger):
     state = TrainState.create(params, batch_stats, tx)
     if mtype == "CenterPoint":
         scene_loss = centerpoint_scene_loss(model, aux)
+    elif mtype == "VoteNet":
+        scene_loss = votenet_scene_loss(model)
+    elif mtype == "H3DNet":
+        scene_loss = h3dnet_scene_loss(model, cfg.get("train_cfg"))
     else:
         scene_loss = voxelnet_scene_loss(
             model, anchors, cfg.get("train_cfg", {}),
@@ -167,9 +179,14 @@ def train_points(args, cfg, work_dir, logger):
                 variables = dict(
                     params=jax.device_get(state.params),
                     batch_stats=jax.device_get(state.batch_stats))
-                run_points_eval(model, variables, val_dataset,
-                                cfg.model, aux=aux, anchors=anchors,
-                                logger=logger)
+                if mtype in INDOOR_POINTS_MODELS:
+                    run_indoor_points_eval(model, variables,
+                                           val_dataset, cfg.model,
+                                           logger=logger)
+                else:
+                    run_points_eval(model, variables, val_dataset,
+                                    cfg.model, aux=aux,
+                                    anchors=anchors, logger=logger)
             if done:
                 break
     logger.info("training complete")
