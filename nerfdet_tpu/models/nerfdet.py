@@ -159,36 +159,37 @@ class NerfDet(nn.Module):
         feat_hw = (h_img // stride, w_img // stride)
 
         vsz = self.voxel_size[-1]
-        mean, cov, count = fused_mean_cov(
-            features, pts_flat, projection,
-            depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
-            axis_name=view_axis,
-        )
+        if use_nerf and self.nerf_density:
+            # single-scan dual fusion: the det stream and the global
+            # (rgb + mapped-feature) volume share one projection and one
+            # feature gather per view; the mapped stream's linearity
+            # (mapping(0) == bias == the reference's invalid fill,
+            # `nerfdet.py:232-261`) folds its mean into a post-scan
+            # matmul (see ops/voxel.fused_mean_cov).
+            _ = self.mapping(jnp.zeros((1, features.shape[-1]),
+                                       self.compute_dtype))
+            map_params = self.mapping.variables["params"]
+            rgb_projection = compute_projection(
+                intrinsic, extrinsics, self.meta.ori_shape[0] / h_img)
+            mean, cov, count, g_mean, g_cov = fused_mean_cov(
+                features, pts_flat, projection,
+                depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
+                extra_features=imgs_denorm,
+                extra_projection=rgb_projection,
+                extra_image_hw=(h_img, w_img),
+                axis_name=view_axis,
+                mapped_kernel=map_params["kernel"],
+                mapped_bias=map_params["bias"],
+            )
+        else:
+            mean, cov, count = fused_mean_cov(
+                features, pts_flat, projection,
+                depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
+                axis_name=view_axis,
+            )
 
         det_volume = mean
         if use_nerf and self.nerf_density:
-            # global volume: rgb backprojection + mapped features, fused
-            # with invalid views contributing the mapping bias
-            # (`nerfdet.py:232-261`)
-            mapped = self.mapping(features)  # (V, h, w, half)
-            bias_fill = self.mapping(jnp.zeros((features.shape[-1],),
-                                               self.compute_dtype))
-            fill = jnp.concatenate(
-                [jnp.zeros((3,), jnp.float32),
-                 bias_fill.astype(jnp.float32)]
-            )
-            rgb_projection = compute_projection(
-                intrinsic, extrinsics, self.meta.ori_shape[0] / h_img)
-            g_mean, g_cov, _ = fused_mean_cov(
-                mapped, pts_flat, projection,
-                depth=depth, voxel_size_z=vsz,
-                invalid_fill=fill,
-                extra_features=imgs_denorm,
-                extra_projection=rgb_projection,
-                image_hw=feat_hw,
-                extra_image_hw=(h_img, w_img),
-                axis_name=view_axis,
-            )
             global_volume = jnp.concatenate([g_mean, g_cov], axis=-1)
             density = self.nerf_mlp.query_density(
                 pts_flat.astype(self.compute_dtype),

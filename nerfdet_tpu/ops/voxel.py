@@ -158,7 +158,9 @@ def fused_mean_cov(features, points, projection,
                    extra_projection: Optional[jnp.ndarray] = None,
                    image_hw: Optional[Tuple[int, int]] = None,
                    extra_image_hw: Optional[Tuple[int, int]] = None,
-                   axis_name: Optional[str] = None):
+                   axis_name: Optional[str] = None,
+                   mapped_kernel: Optional[jnp.ndarray] = None,
+                   mapped_bias: Optional[jnp.ndarray] = None):
     """Streaming multi-view fusion: mean, exp(-var), valid count.
 
     Computes, without materialising the (V, N, C) tensor, exactly the
@@ -190,8 +192,22 @@ def fused_mean_cov(features, points, projection,
             before normalization, making the result bit-identical to the
             unsharded fusion.
 
+    Args (cont. 2):
+        mapped_kernel/mapped_bias: fuse the nerf_density "mapped"
+            stream into the SAME scan: since the reference's
+            ``mapping`` is a 1x1 linear whose invalid-view fill equals
+            its own bias (`nerfdet.py:239-251`, mapping(0) == bias),
+            the mapped stream's gather is redundant — its per-view
+            contribution is ``gathered_features @ W + b`` and its
+            running sum is recovered post-scan as ``s1 @ W + V*b``.
+            Only the squared sum needs in-scan work (one thin MXU
+            matmul per view). Requires ``extra_features`` (the rgb
+            stream). Adds ``(g_mean, g_cov)`` to the return, channel
+            order [extra, mapped] (the reference's rgb_volume concat).
+
     Returns:
-        (mean, cov, count): (N, C_total), (N, C_total), (N,).
+        (mean, cov, count) — or (mean, cov, count, g_mean, g_cov) when
+        ``mapped_kernel`` is given.
     """
     v, fh, fw, c = features.shape
     h, w = image_hw if image_hw is not None else (fh, fw)
@@ -217,7 +233,29 @@ def fused_mean_cov(features, points, projection,
     fill = (jnp.zeros((c_total,), jnp.float32) if invalid_fill is None
             else invalid_fill.astype(jnp.float32))
 
+    with_mapped = mapped_kernel is not None
+    if with_mapped:
+        assert extra_features is not None
+        c_map = mapped_kernel.shape[-1]
+        w_map = mapped_kernel.astype(jnp.float32)
+        b_map = mapped_bias.astype(jnp.float32)
+
     def body(carry, view):
+        if with_mapped:
+            s1, s2, count, s1e, s2e, s2m = carry
+            f_v, x_v, y_v, valid_v, fe_v, xe_v, ye_v, valide_v = view
+            contrib = _gather_view(f_v, x_v, y_v, valid_v).astype(
+                jnp.float32)
+            extra = _gather_view(fe_v, xe_v, ye_v, valide_v).astype(
+                jnp.float32)
+            mapped = contrib @ w_map + b_map
+            s1 = s1 + contrib
+            s2 = s2 + contrib * contrib
+            s1e = s1e + extra
+            s2e = s2e + extra * extra
+            s2m = s2m + mapped * mapped
+            count = count + valid_v.astype(jnp.float32)
+            return (s1, s2, count, s1e, s2e, s2m), None
         s1, s2, count = carry
         if extra_features is None:
             f_v, x_v, y_v, valid_v = view
@@ -235,26 +273,62 @@ def fused_mean_cov(features, points, projection,
         count = count + valid_v.astype(jnp.float32)
         return (s1, s2, count), None
 
-    s1 = jnp.zeros((n, c_total), jnp.float32)
-    s2 = jnp.zeros((n, c_total), jnp.float32)
     count = jnp.zeros((n,), jnp.float32)
-    if extra_features is None:
-        xs = (features, x, y, valid)
-    else:
+    if with_mapped:
+        init = (jnp.zeros((n, c), jnp.float32),
+                jnp.zeros((n, c), jnp.float32), count,
+                jnp.zeros((n, c_extra), jnp.float32),
+                jnp.zeros((n, c_extra), jnp.float32),
+                jnp.zeros((n, c_map), jnp.float32))
         xs = (features, x, y, valid, extra_features, xe, ye, valide)
-    (s1, s2, count), _ = jax.lax.scan(body, (s1, s2, count), xs)
+    else:
+        init = (jnp.zeros((n, c_total), jnp.float32),
+                jnp.zeros((n, c_total), jnp.float32), count)
+        xs = ((features, x, y, valid) if extra_features is None else
+              (features, x, y, valid, extra_features, xe, ye, valide))
+    # remat the body: without it the scan's VJP stores every per-view
+    # gathered contribution ((V, N, C_total) floats — the exact tensor
+    # this streaming formulation exists to avoid); recomputing the
+    # gathers in the backward trades cheap FLOPs for ~V x N x C of HBM.
+    # NERFDET_TPU_NO_REMAT=1 disables it (A/B benchmarking only).
+    import os
+
+    if os.environ.get("NERFDET_TPU_NO_REMAT") != "1":
+        body = jax.checkpoint(body)
+    carry, _ = jax.lax.scan(body, init, xs)
+    if with_mapped:
+        s1, s2, count, s1e, s2e, s2m = carry
+    else:
+        s1, s2, count = carry
 
     if axis_name is not None:
         s1 = jax.lax.psum(s1, axis_name)
         s2 = jax.lax.psum(s2, axis_name)
         count = jax.lax.psum(count, axis_name)
+        if with_mapped:
+            s1e = jax.lax.psum(s1e, axis_name)
+            s2e = jax.lax.psum(s2e, axis_name)
+            s2m = jax.lax.psum(s2m, axis_name)
         v = v * jax.lax.psum(1, axis_name)
 
     denom = count[:, None] + 1e-8
-    mean = s1 / denom
     observed = count[:, None] > 0
-    mean = jnp.where(observed, mean, 0.0)
-    var = (s2 - 2.0 * mean * s1 + v * mean * mean) / denom
-    var = jnp.where(observed, var, 1e6)
-    cov = jnp.exp(-var)
-    return mean, cov, count
+
+    def stats(s1_, s2_):
+        mean_ = jnp.where(observed, s1_ / denom, 0.0)
+        var_ = (s2_ - 2.0 * mean_ * s1_ + v * mean_ * mean_) / denom
+        var_ = jnp.where(observed, var_, 1e6)
+        return mean_, jnp.exp(-var_)
+
+    mean, cov = stats(s1, s2)
+    if not with_mapped:
+        return mean, cov, count
+    # mapped running sum recovered without in-scan storage: every view
+    # contributes gathered @ W + b (invalid gathers are zero, so their
+    # contribution is exactly the bias — the reference's fill)
+    s1m = s1 @ w_map + v * b_map
+    mean_m, cov_m = stats(s1m, s2m)
+    mean_e, cov_e = stats(s1e, s2e)
+    g_mean = jnp.concatenate([mean_e, mean_m], axis=-1)
+    g_cov = jnp.concatenate([cov_e, cov_m], axis=-1)
+    return mean, cov, count, g_mean, g_cov

@@ -131,3 +131,61 @@ def test_depth_gating_reduces_validity():
     g, a = np.asarray(valid_gated), np.asarray(valid_all)
     assert (g & ~a).sum() == 0  # gating only removes
     assert g.sum() < a.sum()
+
+
+def test_fused_mean_cov_mapped_equivalence():
+    """The single-scan dual fusion (mapped_kernel path) reproduces the
+    two-call formulation: det stats from a plain call, global stats
+    from a call on mapping(features) with bias fill + rgb extra."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.ops.voxel import fused_mean_cov
+
+    rng = np.random.RandomState(3)
+    v, h, w, c, half = 4, 10, 12, 8, 3
+    feats = jnp.asarray(rng.randn(v, h, w, c).astype(np.float32))
+    rgb = jnp.asarray(rng.rand(v, 2 * h, 2 * w, 3).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-2, 2, (40, 3)).astype(np.float32))
+    intr = np.array([[10.0, 0, w, 0], [0, 10.0, h, 0],
+                     [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    proj = []
+    proj_rgb = []
+    for i in range(v):
+        e = np.eye(4, dtype=np.float32)
+        e[:3, 3] = [0, 0, 4 + i]
+        proj.append(intr @ e)
+        intr2 = intr.copy()
+        intr2[:2] *= 2
+        proj_rgb.append(intr2 @ e)
+    proj = jnp.asarray(np.stack(proj))
+    proj_rgb = jnp.asarray(np.stack(proj_rgb))
+    kernel = jnp.asarray(rng.randn(c, half).astype(np.float32))
+    bias = jnp.asarray(rng.randn(half).astype(np.float32))
+
+    mean, cov, count, g_mean, g_cov = fused_mean_cov(
+        feats, pts, proj, image_hw=(2 * h, 2 * w),
+        extra_features=rgb, extra_projection=proj_rgb,
+        extra_image_hw=(4 * h, 4 * w),
+        mapped_kernel=kernel, mapped_bias=bias)
+
+    # reference formulation: two separate calls
+    mean0, cov0, count0 = fused_mean_cov(
+        feats, pts, proj, image_hw=(2 * h, 2 * w))
+    mapped = feats @ kernel + bias
+    fill = jnp.concatenate([jnp.zeros(3), bias])
+    g_mean0, g_cov0, _ = fused_mean_cov(
+        mapped, pts, proj, invalid_fill=fill,
+        extra_features=rgb, extra_projection=proj_rgb,
+        image_hw=(2 * h, 2 * w), extra_image_hw=(4 * h, 4 * w))
+
+    assert np.asarray(count).sum() > 0  # scene actually projects
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(count), np.asarray(count0))
+    np.testing.assert_allclose(np.asarray(g_mean), np.asarray(g_mean0),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_cov), np.asarray(g_cov0),
+                               atol=1e-4)

@@ -32,6 +32,11 @@ def parse_args():
                         "detection scenes/sec")
     p.add_argument("--rays", type=int, default=16384,
                    help="rays per NVS iteration")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the full train step (fwd+bwd+AdamW, "
+                        "joint det+NVS losses) in ms/step")
+    p.add_argument("--f32", action="store_true",
+                   help="force float32 compute (overrides --bf16)")
     return p.parse_args()
 
 
@@ -48,9 +53,10 @@ def main():
 
     cfg = Config.fromfile(args.config)
     meta = scene_meta_from_config(cfg)
+    use_bf16 = args.bf16 and not args.f32
     model = build_model(
         cfg.model, meta=meta,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
 
     scene = make_synthetic_scene(
         seed=0, n_views=args.views, n_targets=1, hw=meta.img_shape,
@@ -64,6 +70,51 @@ def main():
     params = jax.jit(
         lambda k: model.init(k, init_batch, train=False, with_rays=True))(
         jax.random.PRNGKey(0))
+
+    if args.train:
+        import optax
+
+        from nerfdet_tpu.train import TrainState, build_optimizer
+        from nerfdet_tpu.train.step import make_train_step
+
+        n_rand = cfg.model.get("N_rand", 2048)
+        train_scene = make_synthetic_scene(
+            seed=0, n_views=args.views, n_targets=1, hw=meta.img_shape,
+            pad_hw=meta.pad_shape, n_rand=n_rand, n_boxes=4, max_gt=8,
+            margin=10)
+        tbatch = {k: jnp.asarray(v)[None] for k, v in
+                  train_scene.items()}
+        tx = build_optimizer(params["params"],
+                             dict(type="AdamW", lr=2e-4,
+                                  weight_decay=1e-4),
+                             grad_clip=dict(max_norm=35.0))
+        state = TrainState.create(params["params"],
+                                  params.get("batch_stats", {}), tx)
+        train_step = make_train_step(model, tx)
+        rng = jax.random.PRNGKey(2)
+        t0 = time.perf_counter()
+        state, _ = train_step(state, tbatch, rng)
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                       .ravel()[:1])
+        print(f"compile+1st step: {time.perf_counter() - t0:.1f}s")
+        for _ in range(args.warmup):
+            rng, sub = jax.random.split(rng)
+            state, _ = train_step(state, tbatch, sub)
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                       .ravel()[:1])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, tbatch, sub)
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                       .ravel()[:1])
+        dt = time.perf_counter() - t0
+        print(f"train: {dt / args.iters * 1e3:.1f} ms/step "
+              f"({args.iters / dt:.2f} scenes/sec/chip, V={args.views}, "
+              f"N_rand={n_rand}, "
+              f"{'bf16' if use_bf16 else 'f32'}, "
+              f"{jax.devices()[0].platform})")
+        return
 
     if args.nvs:
         from nerfdet_tpu.models.nerfdet import NerfDet
