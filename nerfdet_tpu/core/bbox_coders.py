@@ -13,6 +13,7 @@ import math
 from dataclasses import dataclass, field
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,4 +116,79 @@ class PartialBinBasedBBoxCoder:
         results["size_res_norm"] = size_res_norm
         means = jnp.asarray(self.mean_sizes, jnp.float32)
         results["size_res"] = size_res_norm * means[None]
+        return results
+
+
+@dataclass(frozen=True)
+class AnchorFreeBBoxCoder:
+    """Anchor-free coder for 3DSSD (reference
+    `core/bbox/coders/anchor_free_bbox_coder.py:1-130`): raw size
+    half-extents instead of size classes; direction bins over 2*pi.
+    Single scene (P, ...) layouts; vmap for batch."""
+
+    num_dir_bins: int = 12
+    with_rot: bool = True
+
+    def angle2class(self, angle):
+        angle = angle % (2 * math.pi)
+        width = 2 * math.pi / self.num_dir_bins
+        shifted = (angle + width / 2) % (2 * math.pi)
+        cls = jnp.floor(shifted / width).astype(jnp.int32)
+        res = shifted - (cls.astype(jnp.float32) * width + width / 2)
+        return cls % self.num_dir_bins, res
+
+    def class2angle(self, cls, res, limit_period: bool = True):
+        width = 2 * math.pi / self.num_dir_bins
+        angle = cls.astype(jnp.float32) * width + res
+        if limit_period:
+            angle = jnp.where(angle > math.pi, angle - 2 * math.pi,
+                              angle)
+        return angle
+
+    def encode(self, gt_boxes, gt_labels):
+        """(G, 7) bottom-centered -> (gravity centers, half sizes,
+        dir class, normalized dir residual)."""
+        center = gt_boxes[:, :3] + jnp.concatenate(
+            [jnp.zeros_like(gt_boxes[:, :2]), gt_boxes[:, 5:6] / 2],
+            axis=-1)
+        size_half = gt_boxes[:, 3:6] / 2
+        if self.with_rot:
+            dir_cls, dir_res = self.angle2class(gt_boxes[:, 6])
+            dir_res = dir_res / (2 * math.pi / self.num_dir_bins)
+        else:
+            dir_cls = jnp.zeros_like(gt_labels)
+            dir_res = jnp.zeros_like(gt_boxes[:, 6])
+        return center, size_half, dir_cls, dir_res
+
+    def decode(self, bbox_out: Dict):
+        """Prediction dict -> (P, 7) gravity-centered boxes."""
+        center = bbox_out["center"]
+        if self.with_rot:
+            dir_class = jnp.argmax(bbox_out["dir_class"], -1)
+            dir_res = jnp.take_along_axis(
+                bbox_out["dir_res"], dir_class[:, None], axis=-1)[:, 0]
+            angle = self.class2angle(dir_class, dir_res)
+        else:
+            angle = jnp.zeros_like(center[:, 0])
+        size = jnp.clip(bbox_out["size"] * 2, 0.1, None)
+        return jnp.concatenate([center, size, angle[:, None]], axis=-1)
+
+    def split_pred(self, cls_preds, reg_preds, base_xyz) -> Dict:
+        """Split raw head channels (reference `:88-130`)."""
+        results: Dict = {}
+        results["obj_scores"] = cls_preds  # (P, num_classes)
+        start = 0
+        results["center_offset"] = reg_preds[:, :3]
+        results["center"] = jax.lax.stop_gradient(base_xyz) \
+            + reg_preds[:, :3]
+        start = 3
+        results["size"] = reg_preds[:, start:start + 3]
+        start += 3
+        results["dir_class"] = reg_preds[
+            :, start:start + self.num_dir_bins]
+        start += self.num_dir_bins
+        dir_res_norm = reg_preds[:, start:start + self.num_dir_bins]
+        results["dir_res_norm"] = dir_res_norm
+        results["dir_res"] = dir_res_norm * (
+            2 * math.pi / self.num_dir_bins)
         return results

@@ -134,6 +134,51 @@ def _build_voxelnet(cfg: dict, meta: SceneMeta = None,
     return build_voxelnet(cfg, compute_dtype=compute_dtype)[0]
 
 
+@register_model("SSD3DNet")
+def _build_ssd3dnet(cfg: dict, meta: SceneMeta = None,
+                    compute_dtype=jnp.float32):
+    """Anchor-free single-stage point detector (reference
+    `detectors/ssd3dnet.py` + `dense_heads/ssd_3d_head.py`)."""
+    from .ssd3dnet import SSD3DNet
+
+    head = cfg.get("bbox_head", {})
+    coder = head.get("bbox_coder", {})
+    bb = cfg.get("backbone", {})
+    bcfg = {k: v for k, v in bb.items()
+            if k in ("in_channels", "num_points", "radii", "num_samples",
+                     "sa_channels", "aggregation_channels", "fps_mods",
+                     "fps_sample_range_lists", "dilated_group")}
+    # normalize the reference's scalar-or-tuple config fields
+    if "fps_mods" in bcfg:
+        bcfg["fps_mods"] = tuple(
+            (m,) if isinstance(m, str) else tuple(m)
+            for m in bcfg["fps_mods"])
+    if "fps_sample_range_lists" in bcfg:
+        bcfg["fps_sample_range_lists"] = tuple(
+            (r,) if isinstance(r, int) else tuple(r)
+            for r in bcfg["fps_sample_range_lists"])
+    return SSD3DNet(
+        num_classes=head.get("num_classes", 1),
+        num_dir_bins=coder.get("num_dir_bins", 12),
+        with_rot=coder.get("with_rot", True),
+        num_candidates=head.get("vote_module_cfg", {}).get(
+            "num_points", 256),
+        backbone_cfg=bcfg or None,
+        dtype=compute_dtype,
+    )
+
+
+@register_model("PartA2")
+def _build_parta2(cfg: dict, meta: SceneMeta = None,
+                  compute_dtype=jnp.float32):
+    """Two-stage part-aware LiDAR detector (reference
+    `detectors/parta2.py`). Returns the model; use
+    `models.parta2.build_parta2` for (model, anchors)."""
+    from .parta2 import build_parta2
+
+    return build_parta2(cfg, compute_dtype=compute_dtype)[0]
+
+
 @register_model("CenterPoint")
 def _build_centerpoint(cfg: dict, meta: SceneMeta = None,
                        compute_dtype=jnp.float32):

@@ -149,3 +149,115 @@ class PointNet2SASSG(nn.Module):
             idx_chain = idx_chain[sa_idx[i]]
         return dict(fp_xyz=fp_xyz, fp_features=fp_feats,
                     fp_indices=idx_chain)
+
+
+class PointSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference
+    `mmdet3d/ops/pointnet_modules/point_sa_module.py` PointSAModuleMSG):
+    one sampled center set, several (radius, K, mlp) grouping branches
+    whose pooled features concatenate; optional dilated (ring) grouping
+    and an aggregation 1x1 conv."""
+
+    num_point: int
+    radii: Sequence[float]
+    sample_nums: Sequence[int]
+    mlp_channels: Sequence[Sequence[int]]
+    fps_mods: Sequence[str] = ("D-FPS",)
+    fps_sample_ranges: Sequence[int] = (-1,)
+    num_point_list: Optional[Sequence[int]] = None
+    dilated_group: bool = False
+    aggregation_channels: Optional[int] = None
+    use_xyz: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool = False,
+                 target_xyz=None, sample_indices=None):
+        from ..ops.pointnet import ball_query_ring, sample_points_mixed
+
+        if target_xyz is not None:
+            new_xyz, idx = target_xyz, None
+        else:
+            if sample_indices is not None:
+                idx = sample_indices
+            else:
+                nums = (self.num_point_list
+                        if self.num_point_list is not None
+                        else (self.num_point,) * len(self.fps_mods))
+                idx = sample_points_mixed(
+                    xyz, features, nums, self.fps_mods,
+                    self.fps_sample_ranges)
+            new_xyz = xyz[idx]
+        outs = []
+        prev_r = 0.0
+        for i, (r, k, mlps) in enumerate(zip(
+                self.radii, self.sample_nums, self.mlp_channels)):
+            if self.dilated_group and i > 0:
+                gi = ball_query_ring(new_xyz, xyz, prev_r, r, k)
+            else:
+                gi = ball_query(new_xyz, xyz, r, k)
+            prev_r = r
+            grouped = group_points(xyz, features, None, gi,
+                                   use_xyz=self.use_xyz, new_xyz=new_xyz)
+            out = SharedMLP(tuple(mlps), self.dtype,
+                            name=f"mlp{i}")(grouped, train)
+            outs.append(out.max(axis=1))
+        out = jnp.concatenate(outs, axis=-1)
+        if self.aggregation_channels:
+            out = SharedMLP((self.aggregation_channels,), self.dtype,
+                            name="aggregation")(out, train)
+        return new_xyz, out, idx
+
+
+class PointNet2SAMSG(nn.Module):
+    """Multi-scale-grouping PointNet++ backbone (3DSSD; reference
+    `mmdet3d/models/backbones/pointnet2_sa_msg.py:1-162`): per stage a
+    mixed D-FPS/F-FPS/FS sampler, multi-radius grouping, and an
+    aggregation conv. Returns the final stage's (xyz, features,
+    indices-into-input)."""
+
+    in_channels: int = 4
+    num_points: Sequence = (4096, 512, (256, 256))
+    radii: Sequence = ((0.2, 0.4, 0.8), (0.4, 0.8, 1.6),
+                       (1.6, 3.2, 4.8))
+    num_samples: Sequence = ((32, 32, 64), (32, 32, 64), (32, 32, 32))
+    sa_channels: Sequence = (((16, 16, 32), (16, 16, 32), (32, 32, 64)),
+                             ((64, 64, 128), (64, 64, 128),
+                              (64, 96, 128)),
+                             ((128, 128, 256), (128, 192, 256),
+                              (128, 256, 256)))
+    aggregation_channels: Sequence[int] = (64, 128, 256)
+    fps_mods: Sequence = (("D-FPS",), ("FS",), ("F-FPS", "D-FPS"))
+    fps_sample_range_lists: Sequence = ((-1,), (-1,), (512, -1))
+    dilated_group: Sequence[bool] = (True, True, True)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        xyz = points[:, :3]
+        feats = points[:, 3:] if points.shape[-1] > 3 else None
+
+        indices = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+        sa_xyz, sa_feats, sa_inds = [xyz], [feats], [indices]
+        for i in range(len(self.sa_channels)):
+            nums = self.num_points[i]
+            nums = (nums,) * len(self.fps_mods[i]) if isinstance(
+                nums, int) else tuple(nums)
+            new_xyz, new_f, idx = PointSAModuleMSG(
+                num_point=nums[0], num_point_list=nums,
+                radii=tuple(self.radii[i]),
+                sample_nums=tuple(self.num_samples[i]),
+                mlp_channels=tuple(tuple(m) for m in
+                                   self.sa_channels[i]),
+                fps_mods=tuple(self.fps_mods[i]),
+                fps_sample_ranges=tuple(self.fps_sample_range_lists[i]),
+                dilated_group=self.dilated_group[i],
+                aggregation_channels=self.aggregation_channels[i],
+                dtype=self.dtype, name=f"sa{i}")(
+                sa_xyz[-1], sa_feats[-1], train)
+            sa_xyz.append(new_xyz)
+            sa_feats.append(new_f)
+            sa_inds.append(sa_inds[-1][idx])
+
+        return dict(sa_xyz=sa_xyz[1:], sa_features=sa_feats[1:],
+                    sa_indices=sa_inds[1:])

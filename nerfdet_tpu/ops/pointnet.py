@@ -132,3 +132,67 @@ def interpolation_weights(dist, eps: float = 1e-8):
     """Inverse-distance weights used by PointNet++ FP modules."""
     recip = 1.0 / jnp.maximum(dist * dist, eps)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)
+
+
+def ball_query_ring(centers, points, min_radius: float, radius: float,
+                    n_neighbors: int):
+    """Dilated ball query: first K points with min_radius <= dist <
+    radius (the reference QueryAndGroup's ``min_radius`` used by
+    3DSSD's dilated grouping). Ring semantics follow
+    `mmdet3d/ops/group_points`: empty rings duplicate slot 0."""
+    d2 = square_distance(centers, points)
+    within = (d2 < radius * radius) & (d2 >= min_radius * min_radius)
+    n = points.shape[0]
+    key = jnp.where(within, 0, 1) * n + jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    if n_neighbors > n:
+        order = jnp.pad(order, ((0, 0), (0, n_neighbors - n)))
+    take = order[:, :n_neighbors]
+    n_found = within.sum(axis=1)
+    slots = jnp.arange(n_neighbors, dtype=jnp.int32)
+    valid = slots[None, :] < n_found[:, None]
+    fallback = jnp.where(n_found[:, None] > 0, take[:, :1], 0)
+    return jnp.where(valid, take, fallback)
+
+
+def sample_points_mixed(xyz, features, num_points, fps_mods,
+                        fps_sample_ranges):
+    """3DSSD's mixed point sampler (reference
+    `mmdet3d/ops/pointnet_modules/point_sa_module.py` Points_Sampler):
+    the point set is split into static index ranges, each sampled with
+    its own mode —
+
+    - ``D-FPS``: euclidean farthest-point sampling;
+    - ``F-FPS``: FPS in the concatenated (xyz, features) metric;
+    - ``FS``: fused sampling — BOTH F-FPS and D-FPS samples are kept
+      (2 x num output indices).
+
+    Args:
+        num_points/fps_mods/fps_sample_ranges: per-section settings;
+        a range of -1 means "to the end".
+
+    Returns (S_total,) int32 indices into ``xyz``.
+    """
+    out = []
+    start = 0
+    n = xyz.shape[0]
+    for num, mod, rng in zip(num_points, fps_mods, fps_sample_ranges):
+        end = n if rng == -1 else start + rng
+        sec_xyz = xyz[start:end]
+        if mod in ("F-FPS", "FS"):
+            sec_feat = features[start:end]
+            ffps_in = jnp.concatenate(
+                [sec_xyz, sec_feat.astype(sec_xyz.dtype)], axis=-1)
+        if mod == "D-FPS":
+            idx = furthest_point_sample(sec_xyz, num)
+        elif mod == "F-FPS":
+            idx = furthest_point_sample(ffps_in, num)
+        elif mod == "FS":
+            idx = jnp.concatenate([
+                furthest_point_sample(ffps_in, num),
+                furthest_point_sample(sec_xyz, num)])
+        else:
+            raise ValueError(f"unknown fps mod {mod!r}")
+        out.append(idx + start)
+        start = end
+    return jnp.concatenate(out).astype(jnp.int32)

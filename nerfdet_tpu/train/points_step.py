@@ -139,6 +139,53 @@ def h3dnet_scene_loss(model, train_cfg: Dict = None):
     return f
 
 
+def ssd3d_scene_loss(model, train_cfg: Dict = None):
+    """Per-scene loss closure for 3DSSD."""
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(variables, scene["points"],
+                                     train=True, mutable=["batch_stats"])
+        losses = model.loss(
+            preds, scene["points"], scene["gt_bboxes_3d"],
+            jnp.maximum(scene["gt_labels_3d"], 0),
+            scene["gt_labels_3d"] >= 0, train_cfg)
+        terms = {("loss_" + k if not k.startswith("loss") else k): v
+                 for k, v in losses.items()}
+        return terms, mutated["batch_stats"]
+
+    return f
+
+
+def parta2_scene_loss(model, anchors, train_cfg: Dict = None):
+    """Per-scene loss closure for Part-A2 (two-stage)."""
+    from ..models.parta2 import parta2_loss
+
+    anchors = jnp.asarray(anchors)
+    rpn_assigners = (train_cfg or {}).get("rpn", {}).get("assigner")
+    num_samples = (train_cfg or {}).get("rcnn", {}).get(
+        "sampler", {}).get("num", 128)
+    num_proposals = (train_cfg or {}).get("rpn_proposal", {}).get(
+        "max_num", 512)
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(variables, scene["points"],
+                                   train=True, mutable=["batch_stats"])
+        v2 = {"params": params,
+              "batch_stats": mutated["batch_stats"]}
+        losses, stats2 = parta2_loss(
+            model, v2, out, scene["points"], anchors,
+            scene["gt_bboxes_3d"],
+            jnp.maximum(scene["gt_labels_3d"], 0),
+            scene["gt_labels_3d"] >= 0, rng,
+            rpn_assigners=rpn_assigners, num_samples=num_samples,
+            num_proposals=num_proposals, train=True)
+        return losses, stats2
+
+    return f
+
+
 def run_indoor_points_eval(model, variables, dataset, model_cfg: Dict,
                            logger=None) -> Dict:
     """Whole-dataset inference + indoor (ScanNet) eval protocol for the
@@ -206,6 +253,41 @@ def run_points_eval(model, variables, dataset, model_cfg: Dict,
             boxes, scores, labels = centerpoint_detect(preds, aux)
             results.append(dict(boxes_3d=boxes, scores_3d=scores,
                                 labels_3d=labels))
+    elif mtype == "PartA2":
+        from ..models.parta2 import parta2_test_tail
+
+        fwd = jax.jit(lambda v, pts: model.apply(v, pts, train=False))
+        for i in range(len(dataset)):
+            item = dataset[i]
+            out = fwd(variables, jnp.asarray(item["points"]))
+            results.append(parta2_test_tail(out, model, variables,
+                                            anchors))
+    elif mtype == "SSD3DNet":
+        from ..core.boxes import corners_from_boxes
+        from ..core.nms import aligned_3d_nms
+        from ..nn.ssd_3d_head import ssd3d_get_bboxes
+
+        def fwd(v, pts):
+            preds = model.apply(v, pts, train=False)
+            return ssd3d_get_bboxes(preds, model.bbox_coder)
+
+        fwd = jax.jit(fwd)
+        for i in range(len(dataset)):
+            item = dataset[i]
+            boxes, obj, sem = jax.device_get(
+                fwd(variables, jnp.asarray(item["points"])))
+            boxes = np.asarray(boxes)
+            bottom = boxes.copy()
+            bottom[:, 2] -= bottom[:, 5] / 2
+            corners = corners_from_boxes(bottom)
+            minmax = np.concatenate(
+                [corners.min(axis=1), corners.max(axis=1)], axis=-1)
+            cls = np.asarray(sem).argmax(axis=-1)
+            keep = aligned_3d_nms(minmax, np.asarray(obj), cls, 0.1)
+            keep = keep[:100]
+            results.append(dict(boxes_3d=bottom[keep],
+                                scores_3d=np.asarray(obj)[keep],
+                                labels_3d=cls[keep]))
     else:
         from ..models.voxelnet import voxelnet_get_bboxes
 

@@ -48,7 +48,8 @@ def main():
     logger = get_root_logger()
 
     if cfg.model["type"] in ("VoxelNet", "DynamicVoxelNet",
-                             "CenterPoint", "VoteNet", "H3DNet"):
+                             "CenterPoint", "VoteNet", "H3DNet",
+                             "PartA2", "SSD3DNet"):
         import jax.numpy as jnp
 
         from nerfdet_tpu.train.points_step import (run_indoor_points_eval,
@@ -62,8 +63,12 @@ def main():
             from nerfdet_tpu.models.centerpoint import build_centerpoint
 
             model, aux = build_centerpoint(cfg.model)
-        elif cfg.model["type"] in ("VoteNet", "H3DNet"):
+        elif cfg.model["type"] in ("VoteNet", "H3DNet", "SSD3DNet"):
             model = build_model(cfg.model)
+        elif cfg.model["type"] == "PartA2":
+            from nerfdet_tpu.models.parta2 import build_parta2
+
+            model, anchors = build_parta2(cfg.model)
         else:
             from nerfdet_tpu.models.voxelnet import build_voxelnet
 

@@ -55,7 +55,7 @@ def parse_args():
 
 
 POINTS_MODELS = ("VoxelNet", "DynamicVoxelNet", "CenterPoint",
-                 "VoteNet", "H3DNet")
+                 "VoteNet", "H3DNet", "PartA2", "SSD3DNet")
 INDOOR_POINTS_MODELS = ("VoteNet", "H3DNet")
 
 
@@ -75,6 +75,7 @@ def train_points(args, cfg, work_dir, logger):
     from nerfdet_tpu.train.points_step import (centerpoint_scene_loss,
                                                h3dnet_scene_loss,
                                                make_points_train_step,
+                                               parta2_scene_loss,
                                                run_indoor_points_eval,
                                                run_points_eval,
                                                votenet_scene_loss,
@@ -90,10 +91,14 @@ def train_points(args, cfg, work_dir, logger):
         from nerfdet_tpu.models.centerpoint import build_centerpoint
 
         model, aux = build_centerpoint(cfg.model, compute_dtype=dtype)
-    elif mtype in INDOOR_POINTS_MODELS:
+    elif mtype in INDOOR_POINTS_MODELS or mtype == "SSD3DNet":
         from nerfdet_tpu.models.builder import build_model
 
         model = build_model(cfg.model, compute_dtype=dtype)
+    elif mtype == "PartA2":
+        from nerfdet_tpu.models.parta2 import build_parta2
+
+        model, anchors = build_parta2(cfg.model, compute_dtype=dtype)
     else:
         from nerfdet_tpu.models.voxelnet import build_voxelnet
 
@@ -111,8 +116,14 @@ def train_points(args, cfg, work_dir, logger):
 
     sample = dataset[0]
     rng = jax.random.PRNGKey(args.seed)
-    variables = jax.jit(lambda k: model.init(
-        k, jnp.asarray(sample["points"]), train=True))(rng)
+    init_method = getattr(model, "init_full", None)
+    if init_method is not None:
+        variables = jax.jit(lambda k: model.init(
+            k, jnp.asarray(sample["points"]),
+            method=init_method))(rng)
+    else:
+        variables = jax.jit(lambda k: model.init(
+            k, jnp.asarray(sample["points"]), train=True))(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if args.load_from or cfg.get("load_from"):
@@ -136,6 +147,13 @@ def train_points(args, cfg, work_dir, logger):
         scene_loss = votenet_scene_loss(model)
     elif mtype == "H3DNet":
         scene_loss = h3dnet_scene_loss(model, cfg.get("train_cfg"))
+    elif mtype == "PartA2":
+        scene_loss = parta2_scene_loss(model, anchors,
+                                       cfg.get("train_cfg"))
+    elif mtype == "SSD3DNet":
+        from nerfdet_tpu.train.points_step import ssd3d_scene_loss
+
+        scene_loss = ssd3d_scene_loss(model, cfg.get("train_cfg"))
     else:
         scene_loss = voxelnet_scene_loss(
             model, anchors, cfg.get("train_cfg", {}),
