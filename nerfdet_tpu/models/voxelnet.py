@@ -67,7 +67,9 @@ class VoxelNet(nn.Module):
         x = self.middle_encoder(feats, coors, train=train)
         x = self.backbone(x, train=train)
         x = self.neck(x, train=train)
-        return self.bbox_head(x)
+        if isinstance(self.bbox_head, Anchor3DHead):
+            return self.bbox_head(x)
+        return self.bbox_head(x, train=train)
 
 
 class DynamicVoxelNet(nn.Module):
@@ -103,7 +105,9 @@ class DynamicVoxelNet(nn.Module):
         x = self.middle_encoder(feats, vcoords, train=train)
         x = self.backbone(x, train=train)
         x = self.neck(x, train=train)
-        return self.bbox_head(x)
+        if isinstance(self.bbox_head, Anchor3DHead):
+            return self.bbox_head(x)
+        return self.bbox_head(x, train=train)
 
 
 def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
@@ -195,14 +199,32 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
                      dtype=compute_dtype)
 
     ag = hd["anchor_generator"]
-    num_anchors = len(ag["ranges"]) * len(ag.get("rotations", (0, 1.57)))
-    head = Anchor3DHead(
-        num_classes=hd["num_classes"],
-        feat_channels=hd.get("feat_channels", 256),
-        num_anchors=num_anchors,
-        use_direction_classifier=hd.get("use_direction_classifier",
-                                        True),
-        dtype=compute_dtype)
+    head_type = hd.get("type", "Anchor3DHead")
+    code_size = 7 + len(ag.get("custom_values", ()))
+    if head_type == "ShapeAwareHead":
+        from ..nn.shape_aware_head import ShapeAwareHead
+
+        head = ShapeAwareHead(
+            num_classes=hd["num_classes"],
+            tasks=tuple(dict(t) for t in hd["tasks"]),
+            box_code_size=code_size,
+            num_rots=len(ag.get("rotations", (0, 1.57))),
+            use_direction_classifier=hd.get(
+                "use_direction_classifier", True),
+            dtype=compute_dtype)
+    else:
+        # FreeAnchor3DHead shares the Anchor3DHead layers — only the
+        # loss differs (`free_anchor3d_head.py:12-40`)
+        num_anchors = len(ag["ranges"]) * len(
+            ag.get("rotations", (0, 1.57)))
+        head = Anchor3DHead(
+            num_classes=hd["num_classes"],
+            feat_channels=hd.get("feat_channels", 256),
+            num_anchors=num_anchors,
+            box_code_size=code_size,
+            use_direction_classifier=hd.get("use_direction_classifier",
+                                            True),
+            dtype=compute_dtype)
 
     kwargs = dict(voxel_size=vs, point_cloud_range=pc,
                   max_voxels=int(max_voxels), middle_encoder=middle,
@@ -221,20 +243,60 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
     gen = Anchor3DRangeGenerator(
         ranges=tuple(tuple(r) for r in ag["ranges"]),
         sizes=tuple(tuple(s) for s in ag["sizes"]),
-        rotations=tuple(ag.get("rotations", (0.0, 1.5707963))))
+        rotations=tuple(ag.get("rotations", (0.0, 1.5707963))),
+        custom_values=tuple(ag.get("custom_values", ())),
+        align_corner=ag.get("type", "").startswith("AlignedAnchor"))
+    if head_type == "ShapeAwareHead":
+        from ..nn.shape_aware_head import (per_class_anchors,
+                                           task_featmap_sizes)
+
+        fsizes = task_featmap_sizes(hd["tasks"], head_hw)
+        return model, per_class_anchors(gen, fsizes)
     anchors = gen.grid_anchors([head_hw])[0]  # (1, H, W, S, R, 7)
     return model, np.asarray(anchors, np.float32)[0]
 
 
 def voxelnet_loss(head_outs, anchors, gt_boxes, gt_labels, gt_mask,
                   num_classes: int, assigners,
-                  dir_offset: float = 0.0) -> Dict:
+                  dir_offset: float = 0.0,
+                  head_cfg: Optional[Dict] = None) -> Dict:
     """Anchored loss for one scene.
 
     ``assigners``: one dict (shared thresholds) or a per-class list —
     the reference's list-typed assigner config assigns anchor size
     group c only against class-c GT (`train_mixins.py`).
+
+    ``head_cfg`` selects the loss family: FreeAnchor3DHead swaps the
+    max-IoU assignment for bag likelihoods, ShapeAwareHead runs the
+    per-class-grid assignment (anchors is then the per-class list).
     """
+    head_type = (head_cfg or {}).get("type", "Anchor3DHead")
+    if head_type == "FreeAnchor3DHead":
+        from ..nn.free_anchor3d_head import free_anchor3d_loss
+
+        cls_score, bbox_pred, dir_cls = head_outs
+        out = free_anchor3d_loss(
+            cls_score, bbox_pred, dir_cls, anchors, gt_boxes,
+            gt_labels, gt_mask, num_classes=num_classes,
+            pre_anchor_topk=head_cfg.get("pre_anchor_topk", 50),
+            bbox_thr=head_cfg.get("bbox_thr", 0.6),
+            gamma=head_cfg.get("gamma", 2.0),
+            alpha=head_cfg.get("alpha", 0.5),
+            dir_offset=dir_offset)
+        # "loss_"-prefixed for the runtime's metric filter
+        return dict(loss_positive_bag=out["positive_bag_loss"],
+                    loss_negative_bag=out["negative_bag_loss"],
+                    n_pos=out["n_pos"])
+    if head_type == "ShapeAwareHead":
+        from ..nn.shape_aware_head import shape_aware_loss
+
+        cls_score, bbox_pred, dir_cls = head_outs
+        if isinstance(assigners, dict):
+            assigners = [assigners] * num_classes
+        return shape_aware_loss(
+            cls_score, bbox_pred, dir_cls, anchors, gt_boxes,
+            gt_labels, gt_mask, num_classes=num_classes,
+            assigners=assigners, dir_offset=dir_offset)
     cls_score, bbox_pred, dir_cls = head_outs
     h, w, s, r, code = anchors.shape
     assigned = None
@@ -259,10 +321,19 @@ def voxelnet_loss(head_outs, anchors, gt_boxes, gt_labels, gt_mask,
 
 
 def voxelnet_get_bboxes(head_outs, anchors, num_classes: int,
-                        nms_pre: int = 100, dir_offset: float = 0.0):
+                        nms_pre: int = 100, dir_offset: float = 0.0,
+                        head_cfg: Optional[Dict] = None):
     """Device-side decode to (boxes, scores, dir) candidates; host
     `core.nms.box3d_multiclass_nms` finishes (reference
     `anchor3d_head.get_bboxes`)."""
+    if (head_cfg or {}).get("type") == "ShapeAwareHead":
+        from ..nn.shape_aware_head import shape_aware_get_bboxes
+
+        cls_score, bbox_pred, dir_cls = head_outs
+        return shape_aware_get_bboxes(
+            cls_score, bbox_pred, dir_cls, anchors,
+            num_classes=num_classes, nms_pre=nms_pre,
+            dir_offset=dir_offset)
     cls_score, bbox_pred, dir_cls = head_outs
     h, w, s, r, code = anchors.shape
     return anchor3d_get_bboxes(

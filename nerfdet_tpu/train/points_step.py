@@ -63,13 +63,19 @@ def make_points_train_step(model, tx: optax.GradientTransformation,
 
 
 def voxelnet_scene_loss(model, anchors, train_cfg: Dict,
-                        num_classes: int, dir_offset: float = 0.0):
-    """Per-scene loss closure for the anchored LiDAR family."""
+                        num_classes: int, dir_offset: float = 0.0,
+                        head_cfg: Dict = None):
+    """Per-scene loss closure for the anchored LiDAR family
+    (Anchor3DHead / FreeAnchor3DHead / ShapeAwareHead via
+    ``head_cfg["type"]``)."""
     from ..models.voxelnet import voxelnet_loss
 
     assigner = train_cfg.get("assigner", dict(
         pos_iou_thr=0.6, neg_iou_thr=0.45, min_pos_iou=0.45))
-    anchors = jnp.asarray(anchors)
+    if isinstance(anchors, (list, tuple)):  # per-class grids (SSN)
+        anchors = [jnp.asarray(a) for a in anchors]
+    else:
+        anchors = jnp.asarray(anchors)
 
     def f(params, batch_stats, scene, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -80,7 +86,7 @@ def voxelnet_scene_loss(model, anchors, train_cfg: Dict,
             outs, anchors, scene["gt_bboxes_3d"],
             jnp.maximum(scene["gt_labels_3d"], 0), gt_mask,
             num_classes=num_classes, assigners=assigner,
-            dir_offset=dir_offset)
+            dir_offset=dir_offset, head_cfg=head_cfg)
         terms = {k: v for k, v in losses.items()
                  if k.startswith("loss")}
         terms["n_pos"] = losses.get("n_pos", jnp.zeros(()))
@@ -291,13 +297,18 @@ def run_points_eval(model, variables, dataset, model_cfg: Dict,
     else:
         from ..models.voxelnet import voxelnet_get_bboxes
 
-        num_classes = model_cfg["bbox_head"]["num_classes"]
-        anchors = jnp.asarray(anchors)
+        head_cfg = model_cfg["bbox_head"]
+        num_classes = head_cfg["num_classes"]
+        if isinstance(anchors, (list, tuple)):  # per-class grids (SSN)
+            anchors = [jnp.asarray(a) for a in anchors]
+        else:
+            anchors = jnp.asarray(anchors)
 
         def fwd(v, pts):
             outs = model.apply(v, pts, train=False)
             return voxelnet_get_bboxes(outs, anchors, num_classes,
-                                       nms_pre=nms_pre)
+                                       nms_pre=nms_pre,
+                                       head_cfg=head_cfg)
 
         fwd = jax.jit(fwd)
         for i in range(len(dataset)):

@@ -158,7 +158,8 @@ def train_points(args, cfg, work_dir, logger):
         scene_loss = voxelnet_scene_loss(
             model, anchors, cfg.get("train_cfg", {}),
             num_classes=cfg.model["bbox_head"]["num_classes"],
-            dir_offset=cfg.model["bbox_head"].get("dir_offset", 0.0))
+            dir_offset=cfg.model["bbox_head"].get("dir_offset", 0.0),
+            head_cfg=cfg.model["bbox_head"])
     train_step = make_points_train_step(model, tx, scene_loss)
     mlog = MetricsLogger(work_dir, logger,
                          interval=cfg.get("log_config", {}).get(
