@@ -202,10 +202,17 @@ class PointShuffle:
         return sample
 
 
+def _object_sample(**kwargs):
+    from .dbsampler import ObjectSample
+
+    return ObjectSample(**kwargs)
+
+
 _TRANSFORMS = {
     "RandomFlip3D": RandomFlip3D,
     "GlobalRotScaleTrans": GlobalRotScaleTrans,
     "ObjectNoise": ObjectNoise,
+    "ObjectSample": _object_sample,
     "PointsRangeFilter": PointsRangeFilter,
     "ObjectRangeFilter": ObjectRangeFilter,
     "PointShuffle": PointShuffle,

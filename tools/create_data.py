@@ -23,7 +23,11 @@ def main():
     p = argparse.ArgumentParser(description="Data converter")
     p.add_argument("dataset",
                    choices=["scannet", "kitti", "synthetic",
-                            "synthetic-kitti"])
+                            "synthetic-kitti", "gt-database"])
+    p.add_argument("--info-path", default=None,
+                   help="gt-database: kitti_infos_train.pkl path")
+    p.add_argument("--classes", default="Pedestrian,Cyclist,Car",
+                   help="gt-database: comma-separated class names")
     p.add_argument("--root-path", required=True)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--workers", type=int, default=4)
@@ -46,6 +50,17 @@ def main():
             args.root_path, out_dir=args.out_dir,
             splits=("train", "val"))
         print(f"[kitti] wrote {written}")
+    elif args.dataset == "gt-database":
+        from nerfdet_tpu.data.dbsampler import \
+            create_groundtruth_database
+
+        info = args.info_path or os.path.join(
+            args.root_path, "kitti_infos_train.pkl")
+        db = create_groundtruth_database(
+            args.root_path, info, classes=args.classes.split(","),
+            out_dir=args.out_dir)
+        print("[gt-database] " + ", ".join(
+            f"{k}: {len(v)}" for k, v in db.items()))
     elif args.dataset == "synthetic-kitti":
         from nerfdet_tpu.data.kitti_etl import create_kitti_infos
         from nerfdet_tpu.data.synthetic import write_synthetic_kitti
