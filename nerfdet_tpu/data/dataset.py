@@ -297,6 +297,24 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
             test_mode=test_mode or data_cfg.get("test_mode", False),
             repeat_times=repeat,
         )
+    if data_cfg.get("type") in ("NuScenesDataset", "LyftDataset"):
+        if data_cfg["type"] == "LyftDataset":
+            from .lyft_dataset import LyftDataset as NuScenesDataset
+        else:
+            from .nuscenes_dataset import NuScenesDataset
+
+        return NuScenesDataset(
+            data_root=data_cfg["data_root"],
+            ann_file=data_cfg["ann_file"],
+            pipeline=data_cfg.get("pipeline", ()),
+            classes=data_cfg.get("classes"),
+            load_interval=data_cfg.get("load_interval", 1),
+            with_velocity=data_cfg.get(
+                "with_velocity", data_cfg["type"] == "NuScenesDataset"),
+            use_valid_flag=data_cfg.get("use_valid_flag", False),
+            n_points=data_cfg.get("max_points", 16384),
+            test_mode=test_mode or data_cfg.get("test_mode", False),
+        )
     if data_cfg.get("type") == "KittiDataset":
         from .kitti_dataset import KittiDataset
 

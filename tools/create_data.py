@@ -23,7 +23,8 @@ def main():
     p = argparse.ArgumentParser(description="Data converter")
     p.add_argument("dataset",
                    choices=["scannet", "kitti", "synthetic",
-                            "synthetic-kitti", "gt-database"])
+                            "synthetic-kitti", "synthetic-nuscenes",
+                            "gt-database"])
     p.add_argument("--info-path", default=None,
                    help="gt-database: kitti_infos_train.pkl path")
     p.add_argument("--classes", default="Pedestrian,Cyclist,Car",
@@ -50,6 +51,14 @@ def main():
             args.root_path, out_dir=args.out_dir,
             splits=("train", "val"))
         print(f"[kitti] wrote {written}")
+    elif args.dataset == "synthetic-nuscenes":
+        from nerfdet_tpu.data.nuscenes_dataset import \
+            write_synthetic_nuscenes
+
+        for split in ("train", "val"):
+            out = write_synthetic_nuscenes(
+                args.root_path, n_samples=args.n_scenes, split=split)
+            print(f"[synthetic-nuscenes] wrote {out}")
     elif args.dataset == "gt-database":
         from nerfdet_tpu.data.dbsampler import \
             create_groundtruth_database
