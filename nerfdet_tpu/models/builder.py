@@ -134,6 +134,18 @@ def _build_voxelnet(cfg: dict, meta: SceneMeta = None,
     return build_voxelnet(cfg, compute_dtype=compute_dtype)[0]
 
 
+@register_model("MVXFasterRCNN")
+@register_model("DynamicMVXFasterRCNN")
+def _build_mvx(cfg: dict, meta: SceneMeta = None,
+               compute_dtype=jnp.float32):
+    """Multi-modality voxel detectors (reference
+    `detectors/mvx_two_stage.py`, `mvx_faster_rcnn.py`). Returns the
+    model; use `models.mvx.build_mvx` for (model, anchors)."""
+    from .mvx import build_mvx
+
+    return build_mvx(cfg, compute_dtype=compute_dtype)[0]
+
+
 @register_model("SSD3DNet")
 def _build_ssd3dnet(cfg: dict, meta: SceneMeta = None,
                     compute_dtype=jnp.float32):

@@ -95,6 +95,36 @@ def voxelnet_scene_loss(model, anchors, train_cfg: Dict,
     return f
 
 
+def mvx_scene_loss(model, anchors, train_cfg: Dict,
+                   num_classes: int, dir_offset: float = 0.0,
+                   head_cfg: Dict = None):
+    """Per-scene loss closure for the MVX family (pts branch; the
+    reference nests its train_cfg under ``pts``)."""
+    from ..models.mvx import mvx_loss
+
+    pts_cfg = (train_cfg or {}).get("pts", train_cfg or {})
+    assigner = pts_cfg.get("assigner", dict(
+        pos_iou_thr=0.6, neg_iou_thr=0.3, min_pos_iou=0.3))
+    anchors = [jnp.asarray(a) for a in anchors]
+
+    def f(params, batch_stats, scene, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs, mutated = model.apply(variables, scene["points"],
+                                    train=True, mutable=["batch_stats"])
+        gt_mask = scene["gt_labels_3d"] >= 0
+        losses = mvx_loss(
+            outs, anchors, scene["gt_bboxes_3d"],
+            jnp.maximum(scene["gt_labels_3d"], 0), gt_mask,
+            num_classes=num_classes, assigner=assigner,
+            dir_offset=dir_offset, head_cfg=head_cfg)
+        terms = {k: v for k, v in losses.items()
+                 if k.startswith("loss")}
+        terms["n_pos"] = losses.get("n_pos", jnp.zeros(()))
+        return terms, mutated["batch_stats"]
+
+    return f
+
+
 def centerpoint_scene_loss(model, aux: Dict):
     """Per-scene loss closure for CenterPoint."""
     from ..models.centerpoint import (centerpoint_loss_from_aux,
@@ -294,6 +324,32 @@ def run_points_eval(model, variables, dataset, model_cfg: Dict,
             results.append(dict(boxes_3d=bottom[keep],
                                 scores_3d=np.asarray(obj)[keep],
                                 labels_3d=cls[keep]))
+    elif mtype in ("MVXFasterRCNN", "DynamicMVXFasterRCNN"):
+        from ..models.mvx import mvx_get_bboxes
+
+        num_classes = model_cfg["pts_bbox_head"]["num_classes"]
+        anchors = [jnp.asarray(a) for a in anchors]
+
+        def fwd(v, pts):
+            outs = model.apply(v, pts, train=False)
+            return mvx_get_bboxes(outs, anchors, num_classes,
+                                  nms_pre=nms_pre)
+
+        fwd = jax.jit(fwd)
+        for i in range(len(dataset)):
+            item = dataset[i]
+            boxes, scores, dirs = jax.device_get(
+                fwd(variables, jnp.asarray(item["points"])))
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            padded = np.concatenate(
+                [scores, np.zeros_like(scores[:, :1])], axis=1)
+            bev = boxes[:, [0, 1, 3, 4, 6]]
+            keep_b, keep_s, keep_l = box3d_multiclass_nms(
+                boxes, bev, padded, score_thr=score_thr,
+                max_num=max_out)
+            results.append(dict(boxes_3d=keep_b, scores_3d=keep_s,
+                                labels_3d=keep_l, sample_idx=i))
     else:
         from ..models.voxelnet import voxelnet_get_bboxes
 

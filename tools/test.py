@@ -49,7 +49,8 @@ def main():
 
     if cfg.model["type"] in ("VoxelNet", "DynamicVoxelNet",
                              "CenterPoint", "VoteNet", "H3DNet",
-                             "PartA2", "SSD3DNet"):
+                             "PartA2", "SSD3DNet", "MVXFasterRCNN",
+                             "DynamicMVXFasterRCNN"):
         import jax.numpy as jnp
 
         from nerfdet_tpu.train.points_step import (run_indoor_points_eval,
@@ -69,6 +70,11 @@ def main():
             from nerfdet_tpu.models.parta2 import build_parta2
 
             model, anchors = build_parta2(cfg.model)
+        elif cfg.model["type"] in ("MVXFasterRCNN",
+                                   "DynamicMVXFasterRCNN"):
+            from nerfdet_tpu.models.mvx import build_mvx
+
+            model, anchors = build_mvx(cfg.model)
         else:
             from nerfdet_tpu.models.voxelnet import build_voxelnet
 

@@ -55,7 +55,9 @@ def parse_args():
 
 
 POINTS_MODELS = ("VoxelNet", "DynamicVoxelNet", "CenterPoint",
-                 "VoteNet", "H3DNet", "PartA2", "SSD3DNet")
+                 "VoteNet", "H3DNet", "PartA2", "SSD3DNet",
+                 "MVXFasterRCNN", "DynamicMVXFasterRCNN")
+MVX_MODELS = ("MVXFasterRCNN", "DynamicMVXFasterRCNN")
 INDOOR_POINTS_MODELS = ("VoteNet", "H3DNet")
 
 
@@ -99,6 +101,10 @@ def train_points(args, cfg, work_dir, logger):
         from nerfdet_tpu.models.parta2 import build_parta2
 
         model, anchors = build_parta2(cfg.model, compute_dtype=dtype)
+    elif mtype in MVX_MODELS:
+        from nerfdet_tpu.models.mvx import build_mvx
+
+        model, anchors = build_mvx(cfg.model, compute_dtype=dtype)
     else:
         from nerfdet_tpu.models.voxelnet import build_voxelnet
 
@@ -154,6 +160,15 @@ def train_points(args, cfg, work_dir, logger):
         from nerfdet_tpu.train.points_step import ssd3d_scene_loss
 
         scene_loss = ssd3d_scene_loss(model, cfg.get("train_cfg"))
+    elif mtype in MVX_MODELS:
+        from nerfdet_tpu.train.points_step import mvx_scene_loss
+
+        scene_loss = mvx_scene_loss(
+            model, anchors, cfg.get("train_cfg", {}),
+            num_classes=cfg.model["pts_bbox_head"]["num_classes"],
+            dir_offset=cfg.model["pts_bbox_head"].get(
+                "dir_offset", 0.0),
+            head_cfg=cfg.model["pts_bbox_head"])
     else:
         scene_loss = voxelnet_scene_loss(
             model, anchors, cfg.get("train_cfg", {}),
