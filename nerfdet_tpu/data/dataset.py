@@ -315,6 +315,20 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
             n_points=data_cfg.get("max_points", 16384),
             test_mode=test_mode or data_cfg.get("test_mode", False),
         )
+    if data_cfg.get("type") == "WaymoDataset":
+        from .waymo_dataset import WaymoDataset
+
+        return WaymoDataset(
+            data_root=data_cfg["data_root"],
+            ann_file=data_cfg["ann_file"],
+            split=data_cfg.get("split", "training"),
+            classes=data_cfg.get("classes",
+                                 ("Car", "Cyclist", "Pedestrian")),
+            n_points=data_cfg.get("max_points", 16384),
+            pipeline=data_cfg.get("pipeline"),
+            load_interval=data_cfg.get("load_interval", 1),
+            test_mode=test_mode or data_cfg.get("test_mode", False),
+        )
     if data_cfg.get("type") == "KittiDataset":
         from .kitti_dataset import KittiDataset
 

@@ -87,7 +87,9 @@ class MVXFasterRCNN(nn.Module):
             levels = tuple(l[0] for l in levels)
         else:  # SECONDFPN fuses to one level
             levels = (self.pts_neck(x, train=train),)
-        return [self.pts_bbox_head(l) for l in levels]
+        if isinstance(self.pts_bbox_head, Anchor3DHead):
+            return [self.pts_bbox_head(l) for l in levels]
+        return [self.pts_bbox_head(l, train=train) for l in levels]
 
 
 def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
@@ -180,19 +182,31 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
     assert len(scales) in (1, n_levels), (scales, n_levels)
 
     code_size = 7 + len(ag.get("custom_values", ()))
-    num_anchors = len(np.asarray(ag["sizes"]).reshape(-1, 3)) * len(
-        ag.get("rotations", (0, 1.57)))
-    if ag.get("ranges") is not None and len(ag["ranges"]) > 1:
-        num_anchors = len(ag["ranges"]) * len(
+    if hd.get("type") == "ShapeAwareHead":
+        from ..nn.shape_aware_head import ShapeAwareHead
+
+        head = ShapeAwareHead(
+            num_classes=hd["num_classes"],
+            tasks=tuple(dict(t) for t in hd["tasks"]),
+            box_code_size=code_size,
+            num_rots=len(ag.get("rotations", (0, 1.57))),
+            use_direction_classifier=hd.get(
+                "use_direction_classifier", True),
+            dtype=compute_dtype)
+    else:
+        num_anchors = len(np.asarray(ag["sizes"]).reshape(-1, 3)) * len(
             ag.get("rotations", (0, 1.57)))
-    head = Anchor3DHead(
-        num_classes=hd["num_classes"],
-        feat_channels=hd.get("feat_channels", 256),
-        num_anchors=num_anchors,
-        box_code_size=code_size,
-        use_direction_classifier=hd.get("use_direction_classifier",
-                                        True),
-        dtype=compute_dtype)
+        if ag.get("ranges") is not None and len(ag["ranges"]) > 1:
+            num_anchors = len(ag["ranges"]) * len(
+                ag.get("rotations", (0, 1.57)))
+        head = Anchor3DHead(
+            num_classes=hd["num_classes"],
+            feat_channels=hd.get("feat_channels", 256),
+            num_anchors=num_anchors,
+            box_code_size=code_size,
+            use_direction_classifier=hd.get("use_direction_classifier",
+                                            True),
+            dtype=compute_dtype)
 
     # image branch + point fusion (MVXNet-style) when configured
     img_backbone = img_neck = fusion = None
@@ -239,6 +253,15 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
         align_corner=ag.get("type", "").startswith("AlignedAnchor"),
         size_per_range=len(ag["ranges"]) > 1)
     strides = backbone_strides
+    if hd.get("type") == "ShapeAwareHead":
+        from ..nn.shape_aware_head import (per_class_anchors,
+                                           task_featmap_sizes)
+
+        u0 = nk["upsample_strides"][0]
+        hw = (int(bev_hw[0] // strides[0] * u0),
+              int(bev_hw[1] // strides[0] * u0))
+        fsizes = task_featmap_sizes(hd["tasks"], hw)
+        return model, per_class_anchors(gen, fsizes)
     if n_levels == 1:
         u0 = nk["upsample_strides"][0]
         hw = (int(bev_hw[0] // strides[0] * u0),
@@ -280,6 +303,16 @@ def mvx_loss(outs: List, anchors: List, gt_boxes, gt_labels, gt_mask,
     swaps in the bag-likelihood loss over the same flat set."""
     from ..nn.anchor3d_head import anchor3d_head_loss
 
+    if (head_cfg or {}).get("type") == "ShapeAwareHead":
+        from ..nn.shape_aware_head import shape_aware_loss
+
+        cls, reg, dcls = outs[0]
+        assigners = assigner if isinstance(assigner, (list, tuple)) \
+            else [assigner] * num_classes
+        return shape_aware_loss(
+            cls, reg, dcls, anchors, gt_boxes, gt_labels, gt_mask,
+            num_classes=num_classes, assigners=assigners,
+            dir_offset=dir_offset)
     cls, reg, dcls, a = mvx_flatten_outs(outs, anchors, num_classes)
     if (head_cfg or {}).get("type") == "FreeAnchor3DHead":
         from ..nn.free_anchor3d_head import free_anchor3d_loss
