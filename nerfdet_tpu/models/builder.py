@@ -33,9 +33,19 @@ def _build_nerfdet(cfg: dict, meta: SceneMeta = None,
     neck = cfg["neck"]
     neck_3d = cfg["neck_3d"]
     head = cfg["bbox_head"]
-    assert backbone.get("type", "ResNet") == "ResNet"
+    btype = backbone.get("type", "ResNet")
+    assert btype in ("ResNet", "SwinTransformer"), btype
+    swin_cfg = None
+    if btype == "SwinTransformer":
+        swin_cfg = {k: tuple(v) if isinstance(v, list) else v
+                    for k, v in backbone.items()
+                    if k in ("embed_dims", "patch_size", "window_size",
+                             "mlp_ratio", "depths", "num_heads",
+                             "out_indices", "qkv_bias")}
     return NerfDet(
-        backbone_depth=backbone["depth"],
+        backbone_type=btype,
+        backbone_cfg=swin_cfg,
+        backbone_depth=backbone.get("depth", 50),
         fpn_in_channels=tuple(neck["in_channels"]),
         fpn_out_channels=neck["out_channels"],
         neck3d_out_channels=neck_3d["out_channels"],

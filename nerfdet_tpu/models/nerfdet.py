@@ -55,6 +55,8 @@ class NerfDet(nn.Module):
     """The flagship detector (see module docstring)."""
 
     # model topology (mirrors configs/nerfdet/*.py `model` dict)
+    backbone_type: str = "ResNet"
+    backbone_cfg: Any = None  # SwinTransformer kwargs when swin
     backbone_depth: int = 50
     fpn_in_channels: Sequence[int] = (256, 512, 1024, 2048)
     fpn_out_channels: int = 256
@@ -90,8 +92,16 @@ class NerfDet(nn.Module):
         assert self.n_samples > 8, (
             f"n_samples={self.n_samples} <= 8 zeroes all NVS/depth "
             "losses (>8-valid-sample ray mask)")
-        self.backbone = ResNet(
-            depth=self.backbone_depth, dtype=self.compute_dtype)
+        if self.backbone_type == "SwinTransformer":
+            # swin image path (reference
+            # `configs/imvoxelnet/*swintest*.py:4-20`)
+            from ..nn.swin import SwinTransformer
+
+            self.backbone = SwinTransformer(
+                dtype=self.compute_dtype, **(self.backbone_cfg or {}))
+        else:
+            self.backbone = ResNet(
+                depth=self.backbone_depth, dtype=self.compute_dtype)
         self.neck = FPN(
             in_channels=self.fpn_in_channels,
             out_channels=self.fpn_out_channels,
