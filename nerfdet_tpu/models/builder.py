@@ -144,6 +144,16 @@ def _build_voxelnet(cfg: dict, meta: SceneMeta = None,
     return build_voxelnet(cfg, compute_dtype=compute_dtype)[0]
 
 
+@register_model("FCOS3D")
+def _build_fcos3d(cfg: dict, meta: SceneMeta = None,
+                  compute_dtype=jnp.float32):
+    """Monocular camera-frame detector (reference
+    `detectors/fcos3d.py`)."""
+    from .fcos3d import build_fcos3d
+
+    return build_fcos3d(cfg, compute_dtype=compute_dtype)
+
+
 @register_model("MVXFasterRCNN")
 @register_model("DynamicMVXFasterRCNN")
 def _build_mvx(cfg: dict, meta: SceneMeta = None,
