@@ -30,7 +30,8 @@ def test_config_builds_model(path):
         model = build_model(cfg.model)
         assert model.bbox_head.num_classes == len(cfg.class_names)
         return
-    if cfg.model["type"] in ("SSD3DNet", "PartA2"):
+    if cfg.model["type"] in ("SSD3DNet", "PartA2", "VoteNet",
+                             "H3DNet"):
         model = build_model(cfg.model)
         assert model.num_classes == len(cfg.class_names)
         return
