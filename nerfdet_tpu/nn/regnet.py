@@ -71,8 +71,11 @@ class XBlock(nn.Module):
         h = nn.Conv(w_b, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         h = nn.relu(bn(h, "bn1"))
+        # explicit (1, 1) padding: torch's pad=1 differs from SAME for
+        # strided convs (SAME pads asymmetrically on even inputs)
         h = nn.Conv(w_b, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", feature_group_count=w_b // g,
+                    padding=((1, 1), (1, 1)),
+                    feature_group_count=w_b // g,
                     use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.relu(bn(h, "bn2"))
         h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
@@ -104,8 +107,9 @@ class NoStemRegNet(nn.Module):
         widths, depths = generate_regnet(
             self.arch["w0"], self.arch["wa"], self.arch["wm"],
             self.arch["depth"])
-        assert len(widths) == 4, (
-            f"arch must quantize to 4 stages, got {widths}")
+        assert len(widths) <= len(self.strides), (
+            f"arch quantizes to {len(widths)} stages but only "
+            f"{len(self.strides)} strides given")
         bot_mul = self.arch.get("bot_mul", 1.0)
         group_w = self.arch["group_w"]
         widths, groups = adjust_widths_groups(

@@ -49,7 +49,9 @@ class BaseShapeHead(nn.Module):
     def __call__(self, x, train: bool = False):
         for i, (ch, s) in enumerate(zip(self.shared_conv_channels,
                                         self.shared_conv_strides)):
-            x = nn.Conv(ch, (3, 3), strides=(s, s), padding="SAME",
+            # explicit (1, 1): torch pad=1 != SAME for strided convs
+            x = nn.Conv(ch, (3, 3), strides=(s, s),
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype,
                         name=f"shared_conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train,

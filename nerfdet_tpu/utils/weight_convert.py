@@ -283,3 +283,70 @@ def merge_params(init_params: Dict, converted: Dict) -> Dict:
                     f"shape mismatch for {k}: {old.shape} vs {new.shape}")
             out[k] = new
     return out
+
+
+def convert_regnet(state: Mapping[str, np.ndarray],
+                   depths=(1, 2, 7, 12)) -> Dict:
+    """mmdet-style (No-Stem)RegNet state_dict -> flax NoStemRegNet
+    params/batch_stats (reference `tools/regnet2mmdet.py:1-88` performs
+    the pycls->mmdet half; this is the mmdet->here half).
+
+    Keys: ``layer{i}.{b}.conv{1,2,3}.weight``, ``.bn{1,2,3}.*``,
+    ``.downsample.{0,1}.*`` -> ``layer{i}_block{b}.{conv*,bn*}``.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(tkey, name, blk_p, blk_s):
+        blk_p[name], blk_s[name] = _bn_split(state, tkey)
+
+    for i, d in enumerate(depths):
+        for blk in range(d):
+            t = f"layer{i + 1}.{blk}"
+            name = f"layer{i + 1}_block{blk}"
+            p: Dict = {}
+            s: Dict = {}
+            for j in (1, 2, 3):
+                p[f"conv{j}"] = dict(
+                    kernel=conv_kernel(state[f"{t}.conv{j}.weight"]))
+                bn(f"{t}.bn{j}", f"bn{j}", p, s)
+            if f"{t}.downsample.0.weight" in state:
+                p["downsample_conv"] = dict(kernel=conv_kernel(
+                    state[f"{t}.downsample.0.weight"]))
+                bn(f"{t}.downsample.1", "downsample_bn", p, s)
+            params[name] = p
+            stats[name] = s
+    return dict(params=params, batch_stats=stats)
+
+
+def convert_votenet(state: Mapping[str, np.ndarray]) -> Dict:
+    """Torch VoteNet state_dict -> flax param subtrees (reference
+    `tools/convert_votenet_checkpoints.py:1-148` renames legacy keys to
+    the current layout; here the current layout maps onto ours).
+
+    Covers the vote module and head conv stacks; the PointNet++
+    backbone follows the SA-module naming handled per-layer.
+    """
+    out: Dict = {}
+
+    def take(prefix: str, dst: Dict):
+        sub = {k[len(prefix):]: v for k, v in state.items()
+               if k.startswith(prefix)}
+        for k, v in sub.items():
+            parts = k.split(".")
+            if parts[-1] == "weight" and v.ndim == 4:
+                dst.setdefault(".".join(parts[:-1]), {})[
+                    "kernel"] = conv_kernel(v)
+            elif parts[-1] == "weight" and v.ndim == 2:
+                dst.setdefault(".".join(parts[:-1]), {})[
+                    "kernel"] = dense_kernel(v)
+            elif parts[-1] == "bias":
+                dst.setdefault(".".join(parts[:-1]), {})["bias"] = _np(v)
+        return dst
+
+    for mod in ("vote_module", "vote_aggregation", "conv_pred"):
+        tree: Dict = {}
+        take(f"bbox_head.{mod}.", tree)
+        if tree:
+            out[mod] = tree
+    return out
