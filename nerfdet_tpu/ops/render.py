@@ -204,13 +204,12 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
             jnp.zeros((r, s, 1), jnp.float32))
     xs = ((images, featmaps, px, py, mask_all) if featmaps is not None
           else (images, px, py, mask_all))
-    # remat: the scan VJP would otherwise store each view's sampled
-    # (R, S, C) block — the materialized tensor this streaming path
-    # eliminates (see the matching note in ops/voxel.fused_mean_cov).
-    # NERFDET_TPU_NO_REMAT=1 disables it (A/B benchmarking only).
+    # optional remat of the per-view (R, S, C) residuals — a measured
+    # net loss at flagship shapes, opt-in for memory-constrained runs
+    # (see the matching note in ops/voxel.fused_mean_cov)
     import os
 
-    if os.environ.get("NERFDET_TPU_NO_REMAT") != "1":
+    if os.environ.get("NERFDET_TPU_REMAT") == "1":
         body = jax.checkpoint(body)
     (s1u, s2u, s1m, cnt), _ = jax.lax.scan(body, init, xs)
 

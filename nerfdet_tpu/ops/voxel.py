@@ -286,14 +286,15 @@ def fused_mean_cov(features, points, projection,
                 jnp.zeros((n, c_total), jnp.float32), count)
         xs = ((features, x, y, valid) if extra_features is None else
               (features, x, y, valid, extra_features, xe, ye, valide))
-    # remat the body: without it the scan's VJP stores every per-view
-    # gathered contribution ((V, N, C_total) floats — the exact tensor
-    # this streaming formulation exists to avoid); recomputing the
-    # gathers in the backward trades cheap FLOPs for ~V x N x C of HBM.
-    # NERFDET_TPU_NO_REMAT=1 disables it (A/B benchmarking only).
+    # optional remat: recomputing the per-view gathers in the backward
+    # trades FLOPs for the (V, N, C_total) residual HBM. Measured on a
+    # single v5e at the flagship shape it is a net LOSS (738 vs 580
+    # ms/step f32 — the re-gather dominates the saved bandwidth), so it
+    # is opt-in via NERFDET_TPU_REMAT=1 for memory-constrained configs
+    # (larger V / volumes) rather than default.
     import os
 
-    if os.environ.get("NERFDET_TPU_NO_REMAT") != "1":
+    if os.environ.get("NERFDET_TPU_REMAT") == "1":
         body = jax.checkpoint(body)
     carry, _ = jax.lax.scan(body, init, xs)
     if with_mapped:
