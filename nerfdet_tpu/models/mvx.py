@@ -29,7 +29,7 @@ from ..nn.fpn import FPN
 from ..nn.middle_encoders import PointPillarsScatter, SparseEncoderDense
 from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import DynamicVFE, HardVFE, PillarFeatureNet
-from ..ops.voxelize import voxelize_hard
+from ..ops.voxelize import voxelize_dynamic, voxelize_hard
 
 
 class MVXFasterRCNN(nn.Module):
@@ -37,6 +37,11 @@ class MVXFasterRCNN(nn.Module):
 
     ``img_backbone``/``fusion_layer`` None => LiDAR-only (the shape the
     nus pointpillars/ssn/free_anchor configs use).
+
+    ``dynamic=True`` is the DynamicMVXFasterRCNN / MVXNet variant
+    (reference `mvx_faster_rcnn.py:24-60`,
+    `configs/mvxnet/dv_mvx-fpn_...py`): no per-voxel point cap —
+    per-point coordinates feed the dynamic VFE's scatter reductions.
     """
 
     voxel_size: Tuple[float, float, float]
@@ -52,6 +57,7 @@ class MVXFasterRCNN(nn.Module):
     img_neck: Optional[nn.Module] = None
     fusion_layer: Optional[nn.Module] = None
     num_features: int = 4
+    dynamic: bool = False
 
     def extract_img_feat(self, img, train: bool = False):
         """(H, W, 3) image -> FPN levels (reference `:145-162`)."""
@@ -74,11 +80,17 @@ class MVXFasterRCNN(nn.Module):
                 train=train)
             points = jnp.concatenate(
                 [points, pt_img_feats.astype(points.dtype)], axis=-1)
-        voxels, coors, num_points, _ = voxelize_hard(
-            points, self.voxel_size, self.point_cloud_range,
-            max_voxels=self.max_voxels, max_points=self.max_points)
-        feats = self.pts_voxel_encoder(voxels, num_points, coors,
-                                       train=train)
+        if self.dynamic:
+            coords = voxelize_dynamic(points, self.voxel_size,
+                                      self.point_cloud_range)
+            feats, coors = self.pts_voxel_encoder(points, coords,
+                                                  train=train)
+        else:
+            voxels, coors, num_points, _ = voxelize_hard(
+                points, self.voxel_size, self.point_cloud_range,
+                max_voxels=self.max_voxels, max_points=self.max_points)
+            feats = self.pts_voxel_encoder(voxels, num_points, coors,
+                                           train=train)
         x = self.pts_middle_encoder(feats, coors, train=train)
         x = self.pts_backbone(x, train=train)
         if isinstance(self.pts_neck, FPN):
@@ -106,11 +118,17 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
     nk = cfg["pts_neck"]
     hd = cfg["pts_bbox_head"]
 
+    dynamic = cfg.get("type") == "DynamicMVXFasterRCNN"
     vs = tuple(vl["voxel_size"])
     pc = tuple(vl["point_cloud_range"])
     max_voxels = vl["max_voxels"]
     if isinstance(max_voxels, (tuple, list)):
         max_voxels = max(max_voxels)
+    if max_voxels is None or max_voxels < 0:
+        # the reference's dynamic configs put no cap (`max_voxels=-1`);
+        # the static-shape scatter needs one — a generous default that
+        # covers KITTI-scale occupancy
+        max_voxels = cfg.get("max_voxels_static", 60000)
 
     common = dict(
         in_channels=ve.get("in_channels", 4),
@@ -126,6 +144,15 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
             with_voxel_center=ve.get("with_voxel_center", True),
             mode=ve.get("mode", "max"),
             legacy=ve.get("legacy", True), **common)
+    elif ve_type == "DynamicVFE" or dynamic:
+        grid = np.floor((np.asarray(pc[3:]) - np.asarray(pc[:3]))
+                        / np.asarray(vs) + 0.5).astype(int)
+        encoder = DynamicVFE(
+            with_cluster_center=ve.get("with_cluster_center", True),
+            with_voxel_center=ve.get("with_voxel_center", True),
+            max_voxels=int(max_voxels),
+            grid_zyx=(int(grid[2]), int(grid[1]), int(grid[0])),
+            **common)
     else:
         encoder = HardVFE(
             with_cluster_center=ve.get("with_cluster_center", True),
@@ -224,7 +251,8 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
             "in_channels", (256, 512, 1024, 2048))),
             out_channels=inn.get("out_channels", 256),
             num_outs=inn.get("num_outs", 4), dtype=compute_dtype)
-        fl = cfg.get("fusion_layer") or hd.get("fusion_layer") or {}
+        fl = (cfg.get("fusion_layer") or ve.get("fusion_layer")
+              or hd.get("fusion_layer") or {})
         fusion = PointFusion(
             img_channels=fl.get("img_channels", 256),
             pts_channels=fl.get("pts_channels", 64),
@@ -235,8 +263,8 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
 
     model = MVXFasterRCNN(
         voxel_size=vs, point_cloud_range=pc,
-        max_points=int(vl["max_num_points"]),
-        max_voxels=int(max_voxels),
+        max_points=max(int(vl["max_num_points"]), 1),
+        max_voxels=int(max_voxels), dynamic=dynamic,
         pts_voxel_encoder=encoder, pts_middle_encoder=middle,
         pts_backbone=backbone, pts_neck=neck, pts_bbox_head=head,
         img_backbone=img_backbone, img_neck=img_neck,

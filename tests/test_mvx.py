@@ -113,3 +113,66 @@ def test_point_fusion_module():
     out = pf.apply(vars_, levels, pts, l2i, (16, 16))
     assert out.shape == (50, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dynamic_mvx_with_fusion():
+    """DynamicMVXFasterRCNN: dynamic voxelization + point fusion
+    (reference `configs/mvxnet/dv_mvx-fpn_...py`), tiny shapes."""
+    cfg = dict(
+        type="DynamicMVXFasterRCNN",
+        img_backbone=dict(type="ResNet", depth=50,
+                          out_indices=(0, 1, 2, 3)),
+        img_neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+                      out_channels=32, num_outs=4),
+        pts_voxel_layer=dict(
+            max_num_points=-1,
+            point_cloud_range=[0, -8, -3, 16, 8, 1],
+            voxel_size=[0.5, 0.5, 4], max_voxels=(-1, -1)),
+        max_voxels_static=512,
+        pts_voxel_encoder=dict(
+            type="DynamicVFE", in_channels=4 + 16,
+            feat_channels=[16],
+            voxel_size=[0.5, 0.5, 4],
+            point_cloud_range=[0, -8, -3, 16, 8, 1],
+            fusion_layer=dict(img_channels=32, pts_channels=4,
+                              mid_channels=8, out_channels=16,
+                              img_levels=(0, 1, 2, 3))),
+        pts_middle_encoder=dict(
+            type="PointPillarsScatter", in_channels=16,
+            output_shape=[32, 32]),
+        pts_backbone=dict(type="SECOND", in_channels=16,
+                          layer_nums=[1, 1], layer_strides=[1, 2],
+                          out_channels=[16, 32]),
+        pts_neck=dict(type="SECONDFPN", in_channels=[16, 32],
+                      upsample_strides=[1, 2], out_channels=[16, 16]),
+        pts_bbox_head=dict(
+            type="Anchor3DHead", num_classes=3, feat_channels=32,
+            anchor_generator=dict(
+                type="Anchor3DRangeGenerator",
+                ranges=[[0, -8, -0.6, 16, 8, -0.6],
+                        [0, -8, -0.6, 16, 8, -0.6],
+                        [0, -8, -1.78, 16, 8, -1.78]],
+                sizes=[[0.6, 0.8, 1.73], [0.6, 1.76, 1.73],
+                       [1.6, 3.9, 1.56]],
+                rotations=[0, 1.57], reshape_out=False)),
+    )
+    model, anchors = build_mvx(cfg)
+    assert model.dynamic and model.fusion_layer is not None
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 15, (512, 4)).astype(np.float32)
+    pts[:, 1] -= 7.5
+    pts[:, 2] = rng.uniform(-2, 0, 512)
+    img = jnp.zeros((64, 96, 3))
+    l2i = jnp.asarray(np.array(
+        [[60, 0, 48, 0], [0, 60, 32, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32))
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.asarray(pts), img=img, lidar2img=l2i,
+        img_shape=(64, 96), train=True))(jax.random.PRNGKey(0))
+    outs, _ = model.apply(variables, jnp.asarray(pts), img=img,
+                          lidar2img=l2i, img_shape=(64, 96),
+                          train=True, mutable=["batch_stats"])
+    n = sum(np.asarray(a).reshape(-1, 7).shape[0] for a in anchors)
+    assert outs[0][0].reshape(-1, 3).shape[0] == n
+    assert np.isfinite(np.asarray(outs[0][0])).all()
