@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv3d import Conv3x3x3
+
 from . import losses
 from ..core.boxes import gravity_center, volume_of_boxes
 
@@ -43,18 +45,17 @@ class ScanNetImVoxelHeadV2(nn.Module):
         last; bbox distances already exponentiated
         (reference `imvoxel_head_v2.py:444-449`).
         """
-        centerness_conv = nn.Conv(
-            1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
-            kernel_init=nn.initializers.normal(0.01),
+        centerness_conv = Conv3x3x3(
+            1, kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype, name="centerness_conv")
-        reg_conv = nn.Conv(
-            self.n_reg_outs, (3, 3, 3), padding=((1, 1),) * 3,
-            use_bias=False, kernel_init=nn.initializers.normal(0.01),
+        reg_conv = Conv3x3x3(
+            self.n_reg_outs,
+            kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype, name="reg_conv")
         # bias_init_with_prob(.01) — reference `imvoxel_head_v2.py:52-55`
         prior_bias = float(-math.log((1 - 0.01) / 0.01))
-        cls_conv = nn.Conv(
-            self.n_classes, (3, 3, 3), padding=((1, 1),) * 3,
+        cls_conv = Conv3x3x3(
+            self.n_classes, use_bias=True,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.constant(prior_bias),
             dtype=self.dtype, name="cls_conv")

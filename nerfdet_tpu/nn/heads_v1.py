@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv3d import Conv3x3x3
+
 from ..core.boxes import gravity_center, rotation_3d_in_axis
 from .heads import compute_centerness
 
@@ -38,10 +40,9 @@ class _ConvTower(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.n_convs):
-            x = nn.Conv(self.n_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                        use_bias=False,
-                        kernel_init=nn.initializers.normal(0.01),
-                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = Conv3x3x3(self.n_channels,
+                          kernel_init=nn.initializers.normal(0.01),
+                          dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"norm_{i}")(x)
@@ -67,17 +68,16 @@ class ImVoxelHeadV1(nn.Module):
                                self.dtype, name="reg_convs")
         cls_tower = _ConvTower(self.n_channels, self.n_convs,
                                self.dtype, name="cls_convs")
-        centerness_conv = nn.Conv(
-            1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
-            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
-            name="centerness_conv")
-        reg_conv = nn.Conv(
-            self.n_reg_outs, (3, 3, 3), padding=((1, 1),) * 3,
-            use_bias=False, kernel_init=nn.initializers.normal(0.01),
+        centerness_conv = Conv3x3x3(
+            1, kernel_init=nn.initializers.normal(0.01),
+            dtype=self.dtype, name="centerness_conv")
+        reg_conv = Conv3x3x3(
+            self.n_reg_outs,
+            kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype, name="reg_conv")
         prior_bias = float(-math.log((1 - 0.01) / 0.01))
-        cls_conv = nn.Conv(
-            self.n_classes, (3, 3, 3), padding=((1, 1),) * 3,
+        cls_conv = Conv3x3x3(
+            self.n_classes, use_bias=True,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.constant(prior_bias),
             dtype=self.dtype, name="cls_conv")

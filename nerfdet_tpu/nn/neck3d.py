@@ -15,6 +15,8 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv3d import Conv3x3x3
+
 
 class BasicBlock3dV2(nn.Module):
     """Residual 3D block (reference `imvoxelnet.py:233-260`).
@@ -37,13 +39,11 @@ class BasicBlock3dV2(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, axis_name=self.bn_axis_name, name=name)
         identity = x
-        y = nn.Conv(self.out_channels, (3, 3, 3), strides=s,
-                    padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = Conv3x3x3(self.out_channels, strides=s,
+                      dtype=self.dtype, name="conv1")(x)
         y = bn("norm1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = Conv3x3x3(self.out_channels, dtype=self.dtype, name="conv2")(y)
         y = bn("norm2")(y)
         if self.stride != 1:
             identity = nn.Conv(self.out_channels, (1, 1, 1), strides=s,
@@ -59,8 +59,7 @@ class _OutBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = Conv3x3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.relu(x)
@@ -78,8 +77,7 @@ class _UpBlock(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="up_norm")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = Conv3x3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.relu(x)
@@ -94,13 +92,12 @@ class BasicBlock3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = Conv3x3x3(self.out_channels, dtype=self.dtype,
+                      name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (3, 3, 3), padding=((1, 1),) * 3,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = Conv3x3x3(self.out_channels, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
         return nn.relu(y + x)
@@ -113,9 +110,9 @@ class _ConvBnRelu3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_channels, (3, 3, 3), strides=self.stride,
-                    padding=((1, 1),) * 3, dtype=self.dtype,
-                    name="conv")(x)
+        x = Conv3x3x3(self.out_channels,
+                      strides=tuple(self.stride), use_bias=True,
+                      dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.relu(x)

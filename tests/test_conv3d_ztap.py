@@ -1,0 +1,75 @@
+"""z-tap 3x3x3 conv equals XLA Conv3D exactly (ops/conv3d.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from nerfdet_tpu.ops.conv3d import Conv3x3x3, conv3x3x3_ztap
+
+
+@pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 2), (1, 1, 2)])
+def test_matches_conv3d(strides):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(10, 12, 8, 6).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 6, 5).astype(np.float32))
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(5, (3, 3, 3), strides=strides,
+                           padding=((1, 1),) * 3, use_bias=False,
+                           name="c")(x)
+
+    ref = Ref().apply({"params": {"c": {"kernel": kernel}}}, x)
+    out = conv3x3x3_ztap(x, kernel, strides)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batched_and_module_param_contract():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 6, 6, 4, 3).astype(np.float32))
+    m = Conv3x3x3(features=7)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # identical param path/shape to nn.Conv
+    assert v["params"]["kernel"].shape == (3, 3, 3, 3, 7)
+    out = m.apply(v, x)
+    assert out.shape == (2, 6, 6, 4, 7)
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(7, (3, 3, 3), padding=((1, 1),) * 3,
+                           use_bias=False, name="c")(x)
+
+    ref = Ref().apply(
+        {"params": {"c": {"kernel": v["params"]["kernel"]}}}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_conv3d():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(8, 8, 6, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32))
+
+    def f_tap(k):
+        return (conv3x3x3_ztap(x, k) ** 2).sum()
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3, 3), padding=((1, 1),) * 3,
+                           use_bias=False, name="c")(x)
+
+    def f_ref(k):
+        return (Ref().apply({"params": {"c": {"kernel": k}}}, x)
+                ** 2).sum()
+
+    g1 = jax.grad(f_tap)(kernel)
+    g2 = jax.grad(f_ref)(kernel)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
