@@ -20,7 +20,7 @@ from ..nn.centerpoint_head import (CenterHead, centerpoint_decode,
                                    centerpoint_loss,
                                    centerpoint_post_process,
                                    centerpoint_targets)
-from ..nn.middle_encoders import PointPillarsScatter, SparseEncoderDense
+from ..nn.middle_encoders import PointPillarsScatter, make_sparse_encoder
 from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import HardVFE, PillarFeatureNet, hard_simple_vfe
 from ..ops.voxelize import voxelize_hard
@@ -110,7 +110,9 @@ def build_centerpoint(cfg: Dict, compute_dtype=jnp.float32):
         enc_pad = tuple(tuple(p for p in stage) for stage in me.get(
             "encoder_paddings",
             tuple(tuple(1 for _ in stage) for stage in enc_ch)))
-        middle = SparseEncoderDense(
+        middle = make_sparse_encoder(
+            formulation=me.get("formulation"),
+            max_active=me.get("max_active", 0),
             in_channels=me.get("in_channels", num_feat),
             sparse_shape=tuple(me.get(
                 "sparse_shape", (int(grid[2]) + 1, int(grid[1]),

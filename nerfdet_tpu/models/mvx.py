@@ -26,7 +26,7 @@ from flax import linen as nn
 from ..core.anchors import Anchor3DRangeGenerator
 from ..nn.anchor3d_head import Anchor3DHead
 from ..nn.fpn import FPN
-from ..nn.middle_encoders import PointPillarsScatter, SparseEncoderDense
+from ..nn.middle_encoders import PointPillarsScatter, make_sparse_encoder
 from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import DynamicVFE, HardVFE, PillarFeatureNet
 from ..ops.voxelize import voxelize_dynamic, voxelize_hard
@@ -164,7 +164,9 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
             output_shape=tuple(me["output_shape"]))
         bev_hw = tuple(me["output_shape"])
     else:
-        middle = SparseEncoderDense(
+        middle = make_sparse_encoder(
+            formulation=me.get("formulation"),
+            max_active=me.get("max_active", 0),
             in_channels=me.get("in_channels", 4),
             sparse_shape=tuple(me["sparse_shape"]),
             dtype=compute_dtype)

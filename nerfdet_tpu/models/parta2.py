@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..core.samplers import sample_fixed_slots
 from ..nn.anchor3d_head import Anchor3DHead, anchor3d_get_bboxes
-from ..nn.middle_encoders import SparseUNetDense
+from ..nn.middle_encoders import SparseUNetDense, make_sparse_unet
 from ..nn.parta2_heads import (PartA2BboxHead, PointwiseSemanticHead,
                                parta2_bbox_loss, parta2_bbox_targets,
                                parta2_decode, semantic_loss,
@@ -46,7 +46,7 @@ class PartA2(nn.Module):
     point_cloud_range: Tuple[float, ...]
     max_points: int
     max_voxels: int
-    middle_encoder: SparseUNetDense
+    middle_encoder: nn.Module  # SparseUNet (dense or sparse formulation)
     backbone: SECOND
     neck: SECONDFPN
     rpn_head: Anchor3DHead
@@ -208,7 +208,9 @@ def build_parta2(cfg: Dict, compute_dtype=jnp.float32):
     if isinstance(max_voxels, (tuple, list)):
         max_voxels = max(max_voxels)
 
-    middle = SparseUNetDense(
+    middle = make_sparse_unet(
+        formulation=me.get("formulation"),
+        max_active=me.get("max_active", 0),
         in_channels=me.get("in_channels", 4),
         sparse_shape=tuple(me["sparse_shape"]),
         base_channels=me.get("base_channels", 16),

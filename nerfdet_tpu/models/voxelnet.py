@@ -22,7 +22,7 @@ from ..core.anchors import Anchor3DRangeGenerator
 from ..nn.anchor3d_head import (Anchor3DHead, anchor3d_get_bboxes,
                                 anchor3d_head_loss,
                                 assign_anchors_per_class)
-from ..nn.middle_encoders import PointPillarsScatter, SparseEncoderDense
+from ..nn.middle_encoders import PointPillarsScatter, make_sparse_encoder
 from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import (DynamicVFE, HardVFE, PillarFeatureNet,
                                  dynamic_simple_vfe, hard_simple_vfe)
@@ -168,7 +168,9 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
             output_shape=tuple(me["output_shape"]))
         bev_hw = tuple(me["output_shape"])
     elif me["type"] in ("SparseEncoder", "SparseEncoderDense"):
-        middle = SparseEncoderDense(
+        middle = make_sparse_encoder(
+            formulation=me.get("formulation"),
+            max_active=me.get("max_active", 0),
             in_channels=me.get("in_channels", 4),
             sparse_shape=tuple(me["sparse_shape"]),
             base_channels=me.get("base_channels", 16),

@@ -1,17 +1,30 @@
-"""Middle encoders: pillar scatter + dense SparseEncoder equivalent.
+"""Middle encoders: pillar scatter + SparseEncoder/SparseUNet twins.
 
 Equivalents of the reference `mmdet3d/models/middle_encoders/
-pillar_scatter.py:1-100` and `sparse_encoder.py:1-175`.
+pillar_scatter.py:1-100`, `sparse_encoder.py:1-175`, and
+`sparse_unet.py:1-292`.
 
 The reference's SparseEncoder runs submanifold/strided *sparse* 3D
-convolutions (spconv CUDA, `mmdet3d/ops/spconv/conv.py:1-455`). XLA/TPU
-has no efficient scatter-indexed convolution primitive, and gather-based
-formulations lose to the MXU's dense conv throughput at the occupancies
-LiDAR scenes produce after the first stride-2 stage (see PERF.md,
-"spconv decision"). So the TPU-native answer is: scatter the voxel
-features into a dense NDHWC volume once, then run the *same* layer
-schedule as dense 3D convs — identical receptive fields and output
-shapes; zero-filled empties instead of skipped sites.
+convolutions (spconv CUDA, `mmdet3d/ops/spconv/conv.py:1-455`). Two
+TPU formulations live here, sharing ONE parameter tree:
+
+* **dense twins** (`SparseEncoderDense`/`SparseUNetDense`): scatter
+  the voxels into a dense NDHWC volume and run the same layer schedule
+  as z-tap dense 3D convs. Best on small grids where the MXU's dense
+  conv throughput beats gather overheads — but the FLOPs scale with
+  the GRID, so at the reference KITTI shape (41, 1600, 1408) the
+  stage-1 conv alone is ~300 TFLOP: unusable.
+* **true sparse** (`SparseEncoderSparse`/`SparseUNetSparse`): exact
+  spconv semantics via static-shape gather-GEMM (`ops/sparse_conv.py`);
+  FLOPs scale with the ACTIVE SET. This is what the reference configs
+  get by default (`make_sparse_encoder`/`make_sparse_unet` pick by
+  grid size; override with ``middle_encoder.formulation``).
+
+Semantic note: the dense twins are NOT numerically spconv-equal beyond
+the first conv — BN shifts inactive zeros, so later convs see a dense
+"halo" submanifold convs never read. The sparse classes ARE
+spconv-equal (tested against a rulebook simulator,
+`tests/test_sparse_conv.py`).
 """
 
 from __future__ import annotations
@@ -20,6 +33,9 @@ from typing import Any, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ..ops.conv3d import ConvZTap
+from ..ops import sparse_conv as sp
 
 
 def pillar_scatter(voxel_feats, coors, ny: int, nx: int):
@@ -98,11 +114,9 @@ class SparseEncoderDense(nn.Module):
         x = scatter_to_dense(voxel_feats, coors, self.sparse_shape)[None]
 
         def conv_bn_relu(x, ch, kernel, stride, padding, name):
-            x = nn.Conv(ch, kernel, strides=stride,
-                        padding=_pad3(padding) if not isinstance(
-                            padding, str) else padding,
-                        use_bias=False, dtype=self.dtype,
-                        name=f"{name}_conv")(x)
+            x = ConvZTap(ch, kernel_size=kernel, strides=stride,
+                         padding=_pad3(padding),
+                         dtype=self.dtype, name=f"{name}_conv")(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.99, epsilon=1e-3,
                              dtype=self.dtype, name=f"{name}_bn")(x)
@@ -157,11 +171,9 @@ class SparseUNetDense(nn.Module):
         seg_features (V, decoder_channels[-1][-1]))."""
 
         def conv_bn_relu(x, ch, kernel, stride, padding, name):
-            x = nn.Conv(ch, kernel, strides=stride,
-                        padding=_pad3(padding) if not isinstance(
-                            padding, str) else padding,
-                        use_bias=False, dtype=self.dtype,
-                        name=f"{name}_conv")(x)
+            x = ConvZTap(ch, kernel_size=kernel, strides=stride,
+                         padding=_pad3(padding),
+                         dtype=self.dtype, name=f"{name}_conv")(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.99, epsilon=1e-3,
                              dtype=self.dtype, name=f"{name}_bn")(x)
@@ -172,8 +184,8 @@ class SparseUNetDense(nn.Module):
             residual."""
             h = conv_bn_relu(x, ch, (3, 3, 3), (1, 1, 1), 1,
                              f"{name}_0")
-            h = nn.Conv(ch, (3, 3, 3), padding=_pad3(1), use_bias=False,
-                        dtype=self.dtype, name=f"{name}_1_conv")(h)
+            h = ConvZTap(ch, (3, 3, 3), padding=_pad3(1),
+                         dtype=self.dtype, name=f"{name}_1_conv")(h)
             h = nn.BatchNorm(use_running_average=not train,
                              momentum=0.99, epsilon=1e-3,
                              dtype=self.dtype, name=f"{name}_1_bn")(h)
@@ -244,3 +256,267 @@ class SparseUNetDense(nn.Module):
         cx = jnp.clip(coors[:, 2], 0, vol.shape[2] - 1)
         seg = vol[cz, cy, cx] * valid[:, None]
         return dict(spatial_features=spatial, seg_features=seg)
+
+
+class _Kernel5(nn.Module):
+    """Bare conv-kernel parameter holder so sparse layers expose the
+    exact ``{name}_conv/kernel`` tree path (and shape) of their dense
+    twins — checkpoints move freely between formulations."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class SparseEncoderSparse(nn.Module):
+    """True sparse SparseEncoder (gather-GEMM, `ops/sparse_conv.py`).
+
+    Same layer schedule, parameter tree, and output layout as
+    :class:`SparseEncoderDense`, but computing only on the active voxel
+    set — the formulation that actually scales to the reference KITTI
+    grid (41, 1600, 1408) where the dense twin's stage-1 conv alone is
+    ~300 TFLOP. Matches spconv numerics (SubMConv3d for same-resolution
+    layers, SparseConv3d for downsamples, BatchNorm over active sites).
+
+    Reference: `mmdet3d/models/middle_encoders/sparse_encoder.py:1-175`
+    + `mmdet3d/ops/spconv/conv.py:1-455`.
+    """
+
+    in_channels: int = 4
+    sparse_shape: Tuple[int, int, int] = (41, 1600, 1408)
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    encoder_paddings: Tuple[Tuple, ...] = (
+        (1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
+    dtype: Any = jnp.float32
+    max_active: int = 0  # 0 -> input table capacity
+
+    @nn.compact
+    def __call__(self, voxel_feats, coors, train: bool = False):
+        vmax = self.max_active or voxel_feats.shape[0]
+        st = dict(
+            feats=voxel_feats.astype(self.dtype),
+            coords=coors, shape=tuple(self.sparse_shape))
+        st["valid"] = jnp.all(st["coords"] >= 0, axis=-1)
+        st["feats"] = st["feats"] * st["valid"][:, None].astype(self.dtype)
+        st["idx"] = sp.build_index_volume(
+            st["coords"], st["shape"], st["feats"].shape[0])
+
+        def bn_relu(x, name):
+            x = sp.MaskedBatchNorm(
+                use_running_average=not train, dtype=self.dtype,
+                name=f"{name}_bn")(x, st["valid"])
+            return nn.relu(x)
+
+        def subm(ch, pad, name):
+            cin = st["feats"].shape[-1]
+            k = _Kernel5((3, 3, 3, cin, ch), name=f"{name}_conv")()
+            y = sp.subm_conv(st["feats"], st["coords"], st["idx"],
+                             k.astype(self.dtype), st["shape"], pad)
+            st["feats"] = bn_relu(y, name)
+
+        def down(ch, ksize, stride, pad, name, cap):
+            cin = st["feats"].shape[-1]
+            k = _Kernel5(tuple(ksize) + (cin, ch), name=f"{name}_conv")()
+            y, nc, nshape = sp.sparse_conv(
+                st["feats"], st["coords"], st["idx"],
+                k.astype(self.dtype), st["shape"], stride, pad, cap)
+            st["coords"], st["shape"] = nc, nshape
+            st["valid"] = jnp.all(nc >= 0, axis=-1)
+            st["idx"] = sp.build_index_volume(nc, nshape, y.shape[0])
+            st["feats"] = bn_relu(y, name)
+
+        subm(self.base_channels, 1, "conv_input")
+        for i, stage in enumerate(self.encoder_channels):
+            pads = self.encoder_paddings[i]
+            for j, ch in enumerate(stage):
+                if i > 0 and j == 0:
+                    down(ch, (3, 3, 3), (2, 2, 2), pads[j],
+                         f"encoder_{i}_{j}", vmax)
+                else:
+                    subm(ch, pads[j], f"encoder_{i}_{j}")
+        down(self.output_channels, (3, 1, 1), (2, 1, 1), (0, 0, 0),
+             "conv_out", vmax)
+        return sp.scatter_bev(st["feats"], st["coords"], st["shape"])
+
+
+class SparseUNetSparse(nn.Module):
+    """True sparse SparseUNet (Part-A2) — encoder as above plus the
+    UNet decoder on the SAVED per-level active sets, with exact
+    SparseInverseConv3d geometry for the upsamples (the dense twin
+    approximates these with cropped transposed convs).
+
+    Reference: `mmdet3d/models/middle_encoders/sparse_unet.py:1-292`.
+    Returns dict(spatial_features (H, W, C*D'), seg_features (V, C_seg))
+    with ``seg_features`` row-aligned to the input voxel table (the
+    decoder's final set IS the input set — submanifold geometry).
+    """
+
+    in_channels: int = 4
+    sparse_shape: Tuple[int, int, int] = (41, 1600, 1408)
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    encoder_paddings: Tuple[Tuple, ...] = (
+        (1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
+    decoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (64, 64, 64), (64, 64, 32), (32, 32, 16), (16, 16, 16))
+    dtype: Any = jnp.float32
+    max_active: int = 0
+
+    @nn.compact
+    def __call__(self, voxel_feats, coors, train: bool = False):
+        vmax = self.max_active or voxel_feats.shape[0]
+
+        def bn_relu(x, valid, name):
+            x = sp.MaskedBatchNorm(
+                use_running_average=not train, dtype=self.dtype,
+                name=f"{name}_bn")(x, valid)
+            return nn.relu(x)
+
+        def subm_on(lv, feats, ch, pad, name, relu=True):
+            cin = feats.shape[-1]
+            k = _Kernel5((3, 3, 3, cin, ch), name=f"{name}_conv")()
+            y = sp.subm_conv(feats, lv["coords"], lv["idx"],
+                             k.astype(self.dtype), lv["shape"], pad)
+            y = sp.MaskedBatchNorm(
+                use_running_average=not train, dtype=self.dtype,
+                name=f"{name}_bn")(y, lv["valid"])
+            return nn.relu(y) if relu else y
+
+        def basic_block(lv, feats, ch, name):
+            h = subm_on(lv, feats, ch, 1, f"{name}_0")
+            h = subm_on(lv, h, ch, 1, f"{name}_1", relu=False)
+            return nn.relu(h + feats)
+
+        # ---- encoder (levels saved) ----
+        lv = dict(coords=coors, shape=tuple(self.sparse_shape))
+        lv["valid"] = jnp.all(coors >= 0, axis=-1)
+        lv["idx"] = sp.build_index_volume(
+            coors, lv["shape"], voxel_feats.shape[0])
+        feats = (voxel_feats.astype(self.dtype)
+                 * lv["valid"][:, None].astype(self.dtype))
+
+        cin = feats.shape[-1]
+        k = _Kernel5((3, 3, 3, cin, self.base_channels),
+                     name="conv_input_conv")()
+        feats = sp.subm_conv(feats, lv["coords"], lv["idx"],
+                             k.astype(self.dtype), lv["shape"], 1)
+        feats = bn_relu(feats, lv["valid"], "conv_input")
+
+        levels, level_feats, down_pads = [], [], []
+        for i, stage in enumerate(self.encoder_channels):
+            pads = self.encoder_paddings[i]
+            for j, ch in enumerate(stage):
+                name = f"encoder_{i}_{j}"
+                if i > 0 and j == 0:
+                    levels.append(dict(lv))
+                    level_feats.append(feats)
+                    down_pads.append(pads[j])
+                    cin = feats.shape[-1]
+                    k = _Kernel5((3, 3, 3, cin, ch),
+                                 name=f"{name}_conv")()
+                    feats, nc, nshape = sp.sparse_conv(
+                        feats, lv["coords"], lv["idx"],
+                        k.astype(self.dtype), lv["shape"],
+                        (2, 2, 2), pads[j], vmax)
+                    lv = dict(coords=nc, shape=nshape,
+                              valid=jnp.all(nc >= 0, axis=-1),
+                              idx=sp.build_index_volume(
+                                  nc, nshape, feats.shape[0]))
+                else:
+                    feats = subm_on(lv, feats, ch, pads[j], name)
+        levels.append(dict(lv))
+        level_feats.append(feats)
+
+        # ---- detection branch (BEV) ----
+        cin = feats.shape[-1]
+        k = _Kernel5((3, 1, 1, cin, self.output_channels),
+                     name="conv_out_conv")()
+        out, oc, oshape = sp.sparse_conv(
+            feats, lv["coords"], lv["idx"], k.astype(self.dtype),
+            lv["shape"], (2, 1, 1), (0, 0, 0), vmax)
+        ovalid = jnp.all(oc >= 0, axis=-1)
+        out = sp.MaskedBatchNorm(
+            use_running_average=not train, dtype=self.dtype,
+            name="conv_out_bn")(out, ovalid)
+        out = nn.relu(out)
+        spatial = sp.scatter_bev(out, oc, oshape)
+
+        # ---- UNet decoder over the saved sets ----
+        n_stage = len(self.encoder_channels)
+        x = level_feats[-1]
+        cur = levels[-1]
+        for kdec, blocks in enumerate(self.decoder_channels):
+            level = n_stage - kdec  # n_stage .. 1
+            lateral = basic_block(cur, level_feats[level - 1], blocks[0],
+                                  f"lateral_layer{level}")
+            cat = jnp.concatenate([x, lateral], axis=-1)
+            merged = subm_on(cur, cat, blocks[1],
+                             1, f"merge_layer{level}")
+            v_, c_ = cat.shape
+            short = cat.reshape(v_, blocks[1], c_ // blocks[1]).sum(-1)
+            x = merged + short
+            if level != 1:
+                # exact SparseInverseConv3d: upsample to the saved
+                # finer set by transposing the matching downsample conv
+                tgt = levels[level - 2]
+                cin = x.shape[-1]
+                k = _Kernel5((3, 3, 3, cin, blocks[2]),
+                             name=f"upsample_layer{level}_conv")()
+                x = sp.inverse_conv(
+                    x, cur["coords"], cur["idx"], k.astype(self.dtype),
+                    tgt["coords"], cur["shape"], (2, 2, 2),
+                    down_pads[level - 2])
+                cur = tgt
+                x = sp.MaskedBatchNorm(
+                    use_running_average=not train, dtype=self.dtype,
+                    name=f"upsample_layer{level}_bn")(x, cur["valid"])
+                x = nn.relu(x)
+            else:
+                x = subm_on(cur, x, blocks[2], 1, "upsample_layer1")
+
+        # cur is now level 0 = the input voxel set, row-aligned
+        return dict(spatial_features=spatial, seg_features=x)
+
+
+def _pick_formulation(formulation, sparse_shape,
+                      threshold: int = 1 << 20) -> str:
+    """Dense vs sparse SparseEncoder formulation.
+
+    Explicit config ``formulation`` wins; otherwise pick sparse when the
+    grid is big enough that dense conv FLOPs dwarf the gather-GEMM path
+    (the reference KITTI grid (41, 1600, 1408) is ~92M sites; the dense
+    twin is only competitive on small grids where the MXU's dense conv
+    throughput beats gather overheads — see `ops/sparse_conv.py`).
+    """
+    if formulation in ("sparse", "dense"):
+        return formulation
+    if formulation is not None:
+        raise ValueError(f"unknown formulation {formulation!r}")
+    d, h, w = sparse_shape
+    return "sparse" if d * h * w > threshold else "dense"
+
+
+def make_sparse_encoder(formulation=None, max_active: int = 0, **kw):
+    """Factory for the SparseEncoder middle encoder (config surface of
+    the reference's ``middle_encoder=dict(type='SparseEncoder', ...)``).
+    Both formulations share one parameter tree."""
+    kind = _pick_formulation(formulation, kw["sparse_shape"])
+    if kind == "sparse":
+        return SparseEncoderSparse(max_active=max_active, **kw)
+    return SparseEncoderDense(**kw)
+
+
+def make_sparse_unet(formulation=None, max_active: int = 0, **kw):
+    """Factory for the Part-A2 SparseUNet middle encoder."""
+    kind = _pick_formulation(formulation, kw["sparse_shape"])
+    if kind == "sparse":
+        return SparseUNetSparse(max_active=max_active, **kw)
+    return SparseUNetDense(**kw)

@@ -62,6 +62,78 @@ def conv3x3x3_ztap(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1)):
     return out[0] if squeeze else out
 
 
+def conv3d_ztap(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
+                padding=((1, 1), (1, 1), (1, 1))):
+    """General z-tap 3D conv on NDHWC input.
+
+    x: (B, D, H, W, C_in); kernel: (kd, kh, kw, C_in, C_out);
+    strides/padding per (D, H, W) axis, padding as (lo, hi) pairs.
+
+    Decomposes over the depth taps: each depth tap is a strided slice of
+    the (depth-padded) input with (B, D_out) folded into the conv batch,
+    convolved 2D and summed — mathematically identical to Conv3D, but
+    the 2D convs hit XLA's well-tiled NHWC path on the MXU (see
+    PERF.md, "z-tap 3x3x3 convolutions").
+    """
+    b, d, h, w, cin = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    sd, sh, sw = strides
+    (pd0, pd1), ph, pw = padding[0], tuple(padding[1]), tuple(padding[2])
+    xp = jnp.pad(x, ((0, 0), (pd0, pd1), (0, 0), (0, 0), (0, 0)))
+    d_out = (d + pd0 + pd1 - kd) // sd + 1
+
+    dn = jax.lax.conv_dimension_numbers(
+        (b * d_out, h, w, cin), kernel.shape[1:],
+        ("NHWC", "HWIO", "NHWC"))
+    out = None
+    for dd in range(kd):
+        tap = jax.lax.slice_in_dim(xp, dd, dd + (d_out - 1) * sd + 1,
+                                   stride=sd, axis=1)
+        tap = tap.reshape(b * d_out, h, w, cin)
+        y = jax.lax.conv_general_dilated(
+            tap, kernel[dd], window_strides=(sh, sw),
+            padding=(ph, pw), dimension_numbers=dn,
+            preferred_element_type=tap.dtype)
+        out = y if out is None else out + y
+    ho, wo = out.shape[1:3]
+    return out.reshape(b, d_out, ho, wo, kernel.shape[-1])
+
+
+class ConvZTap(nn.Module):
+    """Drop-in for ``nn.Conv(features, kernel_size, strides, padding,
+    use_bias)`` on NDHWC volumes with the z-tap schedule. Identical
+    ``kernel``/``bias`` parameter contract, so checkpoints and the
+    torch-parity conversion are unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = ((1, 1), (1, 1), (1, 1))
+    use_bias: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (cin, self.features))
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad),) * 3
+        else:
+            pad = tuple((p, p) if isinstance(p, int) else tuple(p)
+                        for p in pad)
+        out = conv3d_ztap(x.astype(self.dtype), kernel.astype(self.dtype),
+                          tuple(self.strides), pad)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class Conv3x3x3(nn.Module):
     """Drop-in for ``nn.Conv(features, (3, 3, 3), strides, pad 1,
     use_bias=False)`` with the z-tap schedule. Same single ``kernel``

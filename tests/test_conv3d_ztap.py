@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from nerfdet_tpu.ops.conv3d import Conv3x3x3, conv3x3x3_ztap
+from nerfdet_tpu.ops.conv3d import (Conv3x3x3, ConvZTap, conv3d_ztap,
+                                    conv3x3x3_ztap)
 
 
 @pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 2), (1, 1, 2)])
@@ -48,6 +49,38 @@ def test_batched_and_module_param_contract():
     ref = Ref().apply(
         {"params": {"c": {"kernel": v["params"]["kernel"]}}}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kshape,strides,padding", [
+    ((3, 3, 3), (1, 1, 1), ((1, 1), (1, 1), (1, 1))),
+    ((3, 3, 3), (2, 2, 2), ((0, 1), (1, 1), (1, 1))),
+    ((3, 1, 1), (2, 1, 1), ((0, 0), (0, 0), (0, 0))),
+    ((1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1))),
+])
+def test_general_ztap_matches_conv3d(kshape, strides, padding):
+    """conv3d_ztap (NDHWC, mixed padding — the middle-encoder shapes)
+    equals nn.Conv exactly."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 9, 10, 8, 6).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.randn(*kshape, 6, 5).astype(np.float32))
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(5, kshape, strides=strides, padding=padding,
+                           use_bias=False, name="c")(x)
+
+    ref = Ref().apply({"params": {"c": {"kernel": kernel}}}, x)
+    out = conv3d_ztap(x, kernel, strides, padding)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    m = ConvZTap(5, kernel_size=kshape, strides=strides, padding=padding)
+    out2 = m.apply({"params": {"kernel": kernel}}, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
