@@ -55,6 +55,51 @@ def grid_sample_2d(image, px, py, padding: str = "zeros"):
     return out
 
 
+def pack_bilinear(image):
+    """(H, W, C) -> (H, W, 4C) with the 2x2 tap window packed into
+    channels: ``packed[y, x] = [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)]``
+    (zero padding beyond the right/bottom edge).
+
+    Lets :func:`grid_sample_2d_packed` fetch all four bilinear taps with
+    ONE gather row per point — the row count (not the byte count) is
+    what bounds XLA's TPU gather and its scatter transpose in the
+    backward (measured 4x fewer rows -> see PERF.md, "packed bilinear
+    gather"). The packing itself is shifted slicing: cheap, fusable,
+    and its transpose (for the backward) is shifted summation.
+    """
+    h, w, c = image.shape
+    p = jnp.pad(image, ((0, 1), (0, 1), (0, 0)))
+    return jnp.concatenate(
+        [p[:h, :w], p[:h, 1:w + 1], p[1:h + 1, :w], p[1:h + 1, 1:w + 1]],
+        axis=-1)
+
+
+def grid_sample_2d_packed(packed, px, py):
+    """Bilinear sample from a :func:`pack_bilinear`-packed image.
+
+    Numerically identical to ``grid_sample_2d(image, px, py, "zeros")``:
+    the gather lands on ``clip(floor(p), 0, size-1)`` and the per-offset
+    weights ``max(0, 1 - |p - start - k|)`` reproduce the interior
+    bilinear weights, the clamp-shifted edge windows, and the
+    zeros-padding cutoff in one expression.
+    """
+    h, w, c4 = packed.shape
+    c = c4 // 4
+    sx = jnp.clip(jnp.floor(px), 0.0, w - 1.0)
+    sy = jnp.clip(jnp.floor(py), 0.0, h - 1.0)
+    rx = px - sx
+    ry = py - sy
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(rx))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(rx - 1.0))
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(ry))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(ry - 1.0))
+    lin = (sy.astype(jnp.int32) * w + sx.astype(jnp.int32)).reshape(-1)
+    rows = packed.reshape(h * w, c4)[lin].reshape(px.shape + (4, c))
+    wgt = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                    axis=-1)
+    return jnp.einsum("...kc,...k->...c", rows, wgt.astype(rows.dtype))
+
+
 def grid_sample_3d(volume, px, py, pz, padding: str = "border"):
     """Sample (D, H, W, C) at float voxel coords -> (..., C).
 

@@ -20,7 +20,8 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .grid_sample import grid_sample_2d, grid_sample_3d
+from .grid_sample import (grid_sample_2d, grid_sample_2d_packed,
+                          grid_sample_3d, pack_bilinear)
 
 
 def sample_along_camera_ray(ray_o, ray_d, near: float, far: float,
@@ -189,10 +190,14 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
             img_v, fm_v, px_v, py_v, m_v = view
         else:
             img_v, px_v, py_v, m_v = view
-        f = grid_sample_2d(img_v, px_v * sx, py_v * sy, padding="zeros")
+        # packed bilinear: ONE gather row per (point, view) instead of
+        # four — row count bounds the gather and its backward scatter
+        # (PERF.md, "packed bilinear gather")
+        f = grid_sample_2d_packed(pack_bilinear(img_v),
+                                  px_v * sx, py_v * sy)
         if featmaps is not None:
-            ff = grid_sample_2d(fm_v, px_v * fx_s, py_v * fy_s,
-                                padding="zeros")
+            ff = grid_sample_2d_packed(pack_bilinear(fm_v),
+                                       px_v * fx_s, py_v * fy_s)
             f = jnp.concatenate([f, ff], axis=-1)
         f = f.astype(jnp.float32)
         m = m_v.astype(jnp.float32)[..., None]
@@ -211,7 +216,12 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
 
     if os.environ.get("NERFDET_TPU_REMAT") == "1":
         body = jax.checkpoint(body)
-    (s1u, s2u, s1m, cnt), _ = jax.lax.scan(body, init, xs)
+    # unrolling the view scan amortizes per-iteration overhead (the
+    # body's gathers are small relative to dispatch/loop cost at
+    # N_rand-scale working sets); tuned on TPU v5e — see PERF.md
+    unroll = int(os.environ.get("NERFDET_TPU_SCAN_UNROLL", "1"))
+    (s1u, s2u, s1m, cnt), _ = jax.lax.scan(body, init, xs,
+                                           unroll=unroll)
 
     v = images.shape[0]
     mean = s1m / (cnt + 1e-8)

@@ -296,7 +296,8 @@ def fused_mean_cov(features, points, projection,
 
     if os.environ.get("NERFDET_TPU_REMAT") == "1":
         body = jax.checkpoint(body)
-    carry, _ = jax.lax.scan(body, init, xs)
+    unroll = int(os.environ.get("NERFDET_TPU_SCAN_UNROLL", "1"))
+    carry, _ = jax.lax.scan(body, init, xs, unroll=unroll)
     if with_mapped:
         s1, s2, count, s1e, s2e, s2m = carry
     else:

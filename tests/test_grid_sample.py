@@ -53,3 +53,31 @@ def test_grid_sample_3d_matches_torch_border():
         tvol, grid, align_corners=True, padding_mode="border"
     )[0, :, 0, 0].t().numpy()
     assert np.allclose(ours, theirs, atol=1e-5)
+
+
+def test_packed_bilinear_matches_grid_sample_2d():
+    """pack_bilinear + grid_sample_2d_packed == grid_sample_2d(zeros)
+    including edge windows and out-of-bounds cutoffs."""
+    from nerfdet_tpu.ops.grid_sample import (grid_sample_2d_packed,
+                                             pack_bilinear)
+
+    rng = np.random.RandomState(3)
+    h, w, c = 11, 13, 5
+    img = rng.randn(h, w, c).astype(np.float32)
+    # interior + exact-edge + fractional-edge + far out-of-bounds
+    px = np.concatenate([
+        rng.uniform(-3, w + 2, 3000),
+        [0.0, w - 1.0, -0.5, w - 0.5, -1.0, float(w), 5.25],
+    ]).astype(np.float32)
+    py = np.concatenate([
+        rng.uniform(-3, h + 2, 3000),
+        [0.0, h - 1.0, -0.5, h - 0.5, -1.0, float(h), 3.75],
+    ]).astype(np.float32)
+
+    ref = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(px),
+                                    jnp.asarray(py), padding="zeros"))
+    packed = pack_bilinear(jnp.asarray(img))
+    assert packed.shape == (h, w, 4 * c)
+    got = np.asarray(grid_sample_2d_packed(packed, jnp.asarray(px),
+                                           jnp.asarray(py)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
