@@ -306,6 +306,9 @@ class SparseEncoderSparse(nn.Module):
         st["feats"] = st["feats"] * st["valid"][:, None].astype(self.dtype)
         st["idx"] = sp.build_index_volume(
             st["coords"], st["shape"], st["feats"].shape[0])
+        st["nbr3"] = sp.neighbor_indices(
+            st["coords"], st["idx"], st["feats"].shape[0], st["shape"],
+            (3, 3, 3), 1, 1)
 
         def bn_relu(x, name):
             x = sp.MaskedBatchNorm(
@@ -316,8 +319,10 @@ class SparseEncoderSparse(nn.Module):
         def subm(ch, pad, name):
             cin = st["feats"].shape[-1]
             k = _Kernel5((3, 3, 3, cin, ch), name=f"{name}_conv")()
+            nbr = st["nbr3"] if _pad3(pad) == ((1, 1),) * 3 else None
             y = sp.subm_conv(st["feats"], st["coords"], st["idx"],
-                             k.astype(self.dtype), st["shape"], pad)
+                             k.astype(self.dtype), st["shape"], pad,
+                             nbr=nbr)
             st["feats"] = bn_relu(y, name)
 
         def down(ch, ksize, stride, pad, name, cap):
@@ -329,6 +334,8 @@ class SparseEncoderSparse(nn.Module):
             st["coords"], st["shape"] = nc, nshape
             st["valid"] = jnp.all(nc >= 0, axis=-1)
             st["idx"] = sp.build_index_volume(nc, nshape, y.shape[0])
+            st["nbr3"] = sp.neighbor_indices(
+                nc, st["idx"], y.shape[0], nshape, (3, 3, 3), 1, 1)
             st["feats"] = bn_relu(y, name)
 
         subm(self.base_channels, 1, "conv_input")
@@ -383,8 +390,10 @@ class SparseUNetSparse(nn.Module):
         def subm_on(lv, feats, ch, pad, name, relu=True):
             cin = feats.shape[-1]
             k = _Kernel5((3, 3, 3, cin, ch), name=f"{name}_conv")()
+            nbr = lv.get("nbr3") if _pad3(pad) == ((1, 1),) * 3 else None
             y = sp.subm_conv(feats, lv["coords"], lv["idx"],
-                             k.astype(self.dtype), lv["shape"], pad)
+                             k.astype(self.dtype), lv["shape"], pad,
+                             nbr=nbr)
             y = sp.MaskedBatchNorm(
                 use_running_average=not train, dtype=self.dtype,
                 name=f"{name}_bn")(y, lv["valid"])
@@ -400,6 +409,9 @@ class SparseUNetSparse(nn.Module):
         lv["valid"] = jnp.all(coors >= 0, axis=-1)
         lv["idx"] = sp.build_index_volume(
             coors, lv["shape"], voxel_feats.shape[0])
+        lv["nbr3"] = sp.neighbor_indices(
+            coors, lv["idx"], voxel_feats.shape[0], lv["shape"],
+            (3, 3, 3), 1, 1)
         feats = (voxel_feats.astype(self.dtype)
                  * lv["valid"][:, None].astype(self.dtype))
 
@@ -430,6 +442,9 @@ class SparseUNetSparse(nn.Module):
                               valid=jnp.all(nc >= 0, axis=-1),
                               idx=sp.build_index_volume(
                                   nc, nshape, feats.shape[0]))
+                    lv["nbr3"] = sp.neighbor_indices(
+                        nc, lv["idx"], feats.shape[0], nshape,
+                        (3, 3, 3), 1, 1)
                 else:
                     feats = subm_on(lv, feats, ch, pads[j], name)
         levels.append(dict(lv))

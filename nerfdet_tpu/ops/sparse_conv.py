@@ -122,16 +122,84 @@ def gather_gemm(feats, nbr_rows, kernel, sentinel: int,
                        preferred_element_type=feats.dtype)
 
 
+@jax.custom_vjp
+def _subm_gemm(feats, kernel, nbr):
+    """Submanifold gather-GEMM with a gather-only backward.
+
+    Autodiff of the forward gather transposes into an XLA scatter-add —
+    2x+ the gather's cost on TPU. A submanifold conv's connectivity is
+    symmetric under offset reversal (``nbr_fwd[i, o] = j  <=>
+    nbr_fwd[j, K-1-o] = i`` for the centered stride-1 geometry), so the
+    input cotangent is ANOTHER gather-GEMM with the SAME neighbor table
+    read backwards and the kernel offset-reversed + transposed:
+
+        dX[j] = sum_o g[nbr[j, K-1-o]] @ W[o]^T
+
+    and the kernel cotangent re-gathers the inputs into one matmul:
+    ``dW[o] = sum_i x[nbr[i, o]] (x) g[i]``. No scatter anywhere.
+    """
+    return gather_gemm(feats, nbr, kernel, feats.shape[0])
+
+
+def _subm_gemm_fwd(feats, kernel, nbr):
+    return _subm_gemm(feats, kernel, nbr), (feats, kernel, nbr)
+
+
+def _subm_gemm_bwd(res, g):
+    feats, kernel, nbr = res
+    v, cin = feats.shape
+    k = nbr.shape[1]
+    cout = kernel.shape[-1]
+    # dX[j] = sum_o g[nbr[j, rev(o)]] @ W[o]^T; reindexing by
+    # o' = rev(o) pairs the UNflipped neighbor table with the
+    # offset-reversed transposed kernel: sum_o' g[nbr[j,o']] @ W[rev(o')]^T
+    w_t = jnp.flip(kernel.reshape(k, cin, cout), axis=0)
+    w_t = jnp.swapaxes(w_t, 1, 2).reshape(k * cout, cin)
+    g_table = jnp.concatenate(
+        [g, jnp.zeros((1, cout), g.dtype)], axis=0)
+    rows = jnp.clip(nbr, 0, v)
+    g_nbr = g_table[rows.reshape(-1)].reshape(-1, k * cout)
+    dx = jax.lax.dot(g_nbr, w_t.astype(g.dtype),
+                     preferred_element_type=g.dtype)
+    # dW: re-gather x rows, contract over the output sites
+    x_table = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    xrows = jnp.clip(nbr, 0, v)
+    x_nbr = x_table[xrows.reshape(-1)].reshape(-1, k * cin)
+    dw = jax.lax.dot(x_nbr.T, g.astype(x_nbr.dtype),
+                     preferred_element_type=feats.dtype)
+    return (dx.astype(feats.dtype),
+            dw.reshape(kernel.shape).astype(kernel.dtype),
+            np.zeros(nbr.shape, jax.dtypes.float0))
+
+
+_subm_gemm.defvjp(_subm_gemm_fwd, _subm_gemm_bwd)
+
+
 def subm_conv(feats, coords, idx_vol, kernel,
-              in_shape: Tuple[int, int, int], padding=1):
+              in_shape: Tuple[int, int, int], padding=1, nbr=None):
     """Submanifold sparse conv: output active set == input active set.
 
     Equivalent of spconv ``SubMConv3d`` (`conv.py:313-372`): stride 1,
     'same' geometry, outputs only at already-active sites.
+
+    ``nbr`` lets callers reuse one neighbor table across every
+    same-level submanifold conv (the geometry is identical, and the
+    int-row lookups are as row-count-bound as the feature gathers —
+    see PERF.md). Centered paddings take the scatter-free custom-VJP
+    path (:func:`_subm_gemm`).
     """
-    nbr = neighbor_indices(coords, idx_vol, feats.shape[0], in_shape,
-                           kernel.shape[:3], 1, padding)
-    out = gather_gemm(feats, nbr, kernel, feats.shape[0])
+    ks = kernel.shape[:3]
+    pd = _as3(padding)
+    if nbr is None:
+        nbr = neighbor_indices(coords, idx_vol, feats.shape[0], in_shape,
+                               ks, 1, pd)
+    import os
+    custom = os.environ.get("NERFDET_TPU_SUBM_VJP", "0") == "1"
+    if custom and all(2 * pd[i] == ks[i] - 1 for i in range(3)):
+        out = _subm_gemm(feats, kernel, nbr)
+    else:
+        out = gather_gemm(feats, nbr, kernel, feats.shape[0])
     return out * jnp.all(coords >= 0, axis=-1)[:, None].astype(out.dtype)
 
 
@@ -147,9 +215,13 @@ def downsample_active(coords, in_shape: Tuple[int, int, int],
 
     A site ``q`` of the output grid is active iff some kernel offset
     reaches an active input: ``q*s - p + o = c``. Enumerates candidates
-    from the input side (``q = (c + p - o) / s`` where divisible),
-    scatters into an occupancy grid, and extracts ``vmax`` sites with a
-    static-size nonzero (lexicographic order, deterministic).
+    from the input side (``q = (c + p - o) / s`` where divisible) and
+    dedups them with two sorts over the (V, K) candidate list — O(V·K
+    log) work, independent of the grid size. (A grid-wide occupancy
+    scatter + static-size ``nonzero`` was the first formulation;
+    measured 112 ms at the KITTI stage-1 grid because the compaction
+    scans all 11.8M sites — see PERF.md. The sort keeps the identical
+    lexicographic first-``vmax`` selection.)
 
     Returns (out_coords (vmax, 3) int32 with -1 fill, out_shape).
     """
@@ -163,11 +235,13 @@ def downsample_active(coords, in_shape: Tuple[int, int, int],
     ok = (num % stv == 0) & (q >= 0) & (q < jnp.asarray(oshape))
     ok = jnp.all(ok, axis=-1) & valid_in[:, None]  # (V, K)
     d, h, w = oshape
-    lin = jnp.where(ok, linearize(q, oshape), d * h * w)
-    occ = jnp.zeros((d * h * w + 1,), bool).at[lin.reshape(-1)].set(True)
-    occ = occ[: d * h * w]
-    (sites,) = jnp.nonzero(occ, size=vmax, fill_value=d * h * w)
-    got = sites < d * h * w
+    big = d * h * w
+    lin = jnp.where(ok, linearize(q, oshape), big).reshape(-1)
+    flat = jnp.sort(lin)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]]) & (flat < big)
+    sites = jnp.sort(jnp.where(first, flat, big))[:vmax]
+    got = sites < big
     z = sites // (h * w)
     y = (sites // w) % h
     x = sites % w

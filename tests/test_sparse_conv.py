@@ -361,3 +361,29 @@ def test_train_mode_masked_bn_and_grads():
     norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(norms) > 0
+
+
+def test_subm_custom_vjp_matches_autodiff(small):
+    """The scatter-free custom VJP (offset-reversed gather) equals
+    autodiff of the plain gather-GEMM for both feats and kernel."""
+    rng, shape, vmax, coords, feats = small
+    kernel = rng.randn(3, 3, 3, 3, 4).astype(np.float32)
+    idx = sp.build_index_volume(jnp.asarray(coords), shape, vmax)
+    nbr = sp.neighbor_indices(jnp.asarray(coords), idx, vmax, shape,
+                              (3, 3, 3), 1, 1)
+    cot = rng.randn(vmax, 4).astype(np.float32)
+
+    def via_custom(f, k):
+        return (sp._subm_gemm(f, k, nbr) * jnp.asarray(cot)).sum()
+
+    def via_autodiff(f, k):
+        return (sp.gather_gemm(f, nbr, k, vmax) * jnp.asarray(cot)).sum()
+
+    gf1, gk1 = jax.grad(via_custom, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+    gf2, gk2 = jax.grad(via_autodiff, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                               rtol=1e-4, atol=1e-4)
