@@ -195,7 +195,7 @@ def subm_conv(feats, coords, idx_vol, kernel,
         nbr = neighbor_indices(coords, idx_vol, feats.shape[0], in_shape,
                                ks, 1, pd)
     import os
-    custom = os.environ.get("NERFDET_TPU_SUBM_VJP", "0") == "1"
+    custom = os.environ.get("NERFDET_TPU_SUBM_VJP", "1") == "1"
     if custom and all(2 * pd[i] == ks[i] - 1 for i in range(3)):
         out = _subm_gemm(feats, kernel, nbr)
     else:
