@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Perf regression suite: every headline benchmark, one JSON report.
+
+Runs the flagship NeRF-Det inference / train / NVS benchmarks and the
+SECOND full-grid train step on the current backend and writes
+``perf_report.json`` (and prints it). Methodology follows PERF.md: jit
+everything (axon eager dispatch is pathological), vary inputs across
+timed iterations, synchronize with one device_get at the end, scalarize
+outputs inside jit.
+
+Usage:
+    python tools/perfsuite.py [--out perf_report.json] [--skip-lidar]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _bench_flagship(report):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.api import scene_meta_from_config
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.data.synthetic import make_synthetic_scene
+    from nerfdet_tpu.models.builder import build_model
+    from nerfdet_tpu.nn.heads import get_candidate_bboxes
+
+    cfg = Config.fromfile("configs/nerfdet/nerfdet_res50_2x_low_res.py")
+    meta = scene_meta_from_config(cfg)
+    model = build_model(cfg.model, meta=meta, compute_dtype=jnp.bfloat16)
+    n_rand = cfg.model.get("N_rand", 2048)
+    scene = make_synthetic_scene(
+        seed=0, n_views=50, n_targets=1, hw=meta.img_shape,
+        pad_hw=meta.pad_shape, n_rand=n_rand, n_boxes=4, max_gt=8,
+        margin=10)
+    batch = {k: jnp.asarray(v) for k, v in scene.items()}
+    det_batch = {k: batch[k] for k in
+                 ("imgs", "denorm_images", "intrinsic", "extrinsics",
+                  "origin")}
+    params = jax.jit(
+        lambda k: model.init(k, batch, train=False, with_rays=True))(
+        jax.random.PRNGKey(0))
+
+    # ---- detection inference ----
+    def infer(variables, b, eps):
+        b = dict(b, imgs=b["imgs"] + eps)
+        head_outs, valid, _ = model.apply(
+            variables, b, train=False, with_rays=True)
+        mlvl = model.mlvl_points(b["origin"])
+        boxes, scores = get_candidate_bboxes(
+            head_outs, valid, mlvl, cfg.test_cfg["nms_pre"],
+            model.n_classes)
+        return boxes, scores
+
+    step = jax.jit(infer)
+    jax.device_get(step(params, det_batch, jnp.float32(0.0)))
+    for i in range(3):
+        jax.device_get(step(params, det_batch, jnp.float32(i) * 1e-4))
+    t0 = time.perf_counter()
+    iters = 20
+    out = None
+    for i in range(iters):
+        out = step(params, det_batch, jnp.float32(3 + i) * 1e-4)
+    jax.device_get(out)
+    report["det_scenes_per_sec_bf16"] = round(
+        iters / (time.perf_counter() - t0), 2)
+
+    # ---- train step ----
+    from nerfdet_tpu.train import TrainState, build_optimizer
+    from nerfdet_tpu.train.step import make_train_step
+
+    tx = build_optimizer(params["params"],
+                         dict(type="AdamW", lr=2e-4, weight_decay=1e-4),
+                         grad_clip=dict(max_norm=35.0))
+    # the train step donates `state`; build it from COPIES so the
+    # donated buffers are not the same arrays `params` still references
+    # (the NVS bench below reuses `params`)
+    fresh = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(
+        (params["params"], params.get("batch_stats", {})))
+    state = TrainState.create(fresh[0], fresh[1], tx)
+    tbatch = {k: v[None] for k, v in batch.items()}
+    train_step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(2)
+    state, _ = train_step(state, tbatch, rng)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    for _ in range(4):
+        rng, sub = jax.random.split(rng)
+        state, _ = train_step(state, tbatch, sub)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    t0 = time.perf_counter()
+    iters = 15
+    for _ in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, tbatch, sub)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    report["train_ms_per_step_bf16"] = round(
+        (time.perf_counter() - t0) / iters * 1e3, 1)
+
+    # ---- NVS rays/sec ----
+    from nerfdet_tpu.models.nerfdet import NerfDet
+
+    rays = 16384
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    ray_o = jnp.broadcast_to(batch["ray_o"][:1], (rays, 3))
+    dirs = jax.random.normal(k1, (rays, 3))
+    ray_d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    nvs_batch = dict(det_batch, ray_o=ray_o, ray_d=ray_d)
+
+    def render(variables, b, eps):
+        b = dict(b, ray_o=b["ray_o"] + eps)
+        rgb, _ = model.apply(variables, b, n_rand,
+                             method=NerfDet.render_full)
+        return rgb.astype(jnp.float32).sum()
+
+    rstep = jax.jit(render)
+    jax.device_get(rstep(params, nvs_batch, jnp.float32(0.0)))
+    for i in range(2):
+        jax.device_get(rstep(params, nvs_batch, jnp.float32(i) * 1e-5))
+    t0 = time.perf_counter()
+    iters = 8
+    out = None
+    for i in range(iters):
+        out = rstep(params, nvs_batch, jnp.float32(2 + i) * 1e-5)
+    jax.device_get(out)
+    report["nvs_rays_per_sec_bf16"] = round(
+        iters * rays / (time.perf_counter() - t0))
+
+
+def _bench_second(report):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.voxelnet import build_voxelnet
+    from nerfdet_tpu.train import TrainState, build_optimizer
+    from nerfdet_tpu.train.points_step import (make_points_train_step,
+                                               voxelnet_scene_loss)
+
+    cfg = Config.fromfile(
+        "configs/second/hv_second_secfpn_6x8_80e_kitti-3d-3class.py")
+    model, anchors = build_voxelnet(cfg.model,
+                                    compute_dtype=jnp.bfloat16)
+    rng_np = np.random.RandomState(0)
+    n = 18000
+    pts = np.stack([rng_np.uniform(0, 70.4, n),
+                    rng_np.uniform(-40, 40, n),
+                    rng_np.uniform(-3, 1, n),
+                    rng_np.uniform(0, 1, n)], -1).astype(np.float32)
+    max_gt = 16
+    gt = np.zeros((max_gt, 7), np.float32)
+    gt[:6] = np.stack([rng_np.uniform(5, 60, 6),
+                       rng_np.uniform(-30, 30, 6),
+                       rng_np.uniform(-1.5, 0, 6),
+                       rng_np.uniform(1.5, 4, 6),
+                       rng_np.uniform(1.5, 2, 6),
+                       rng_np.uniform(1.4, 1.8, 6),
+                       rng_np.uniform(-3.14, 3.14, 6)], -1)
+    labels = -np.ones((max_gt,), np.int32)
+    labels[:6] = rng_np.randint(0, 3, 6)
+    scene = dict(points=jnp.asarray(pts)[None],
+                 gt_bboxes_3d=jnp.asarray(gt)[None],
+                 gt_labels_3d=jnp.asarray(labels)[None])
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0], train=True))(
+        jax.random.PRNGKey(0))
+    tx = build_optimizer(variables["params"],
+                         dict(type="AdamW", lr=3e-3, weight_decay=0.01),
+                         grad_clip=dict(max_norm=35.0))
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    scene_loss = voxelnet_scene_loss(
+        model, anchors, dict(cfg.train_cfg),
+        cfg.model["bbox_head"]["num_classes"])
+    step = make_points_train_step(model, tx, scene_loss)
+    rng = jax.random.PRNGKey(1)
+    state, _ = step(state, scene, rng)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, scene, sub)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, scene, sub)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    report["second_train_ms_per_step_bf16"] = round(
+        (time.perf_counter() - t0) / iters * 1e3, 1)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="perf_report.json")
+    p.add_argument("--skip-lidar", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    report = dict(platform=jax.devices()[0].platform)
+    _bench_flagship(report)
+    if not args.skip_lidar:
+        _bench_second(report)
+    print(json.dumps(report))
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
