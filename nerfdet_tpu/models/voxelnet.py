@@ -29,6 +29,15 @@ from ..nn.voxel_encoders import (DynamicVFE, HardVFE, PillarFeatureNet,
 from ..ops.voxelize import voxelize_dynamic, voxelize_hard
 
 
+def _cap(max_voxels, train: bool) -> int:
+    """Static voxel-table capacity: the reference's ``max_voxels``
+    may be a ``(train, test)`` pair (`voxelize.forward`); ``train`` is
+    a Python bool so each mode traces its own table size."""
+    if isinstance(max_voxels, (tuple, list)):
+        return int(max_voxels[0] if train else max_voxels[1])
+    return int(max_voxels)
+
+
 class VoxelNet(nn.Module):
     """Hard-voxelization single-stage detector (one scene per call).
 
@@ -38,7 +47,7 @@ class VoxelNet(nn.Module):
     voxel_size: Tuple[float, float, float]
     point_cloud_range: Tuple[float, ...]
     max_points: int
-    max_voxels: int
+    max_voxels: Any  # int, or (train_cap, test_cap) like the reference
     middle_encoder: nn.Module
     backbone: SECOND
     neck: SECONDFPN
@@ -46,10 +55,10 @@ class VoxelNet(nn.Module):
     voxel_encoder: Optional[nn.Module] = None
     num_features: int = 4
 
-    def voxelize(self, points):
+    def voxelize(self, points, train: bool = False):
         return voxelize_hard(points, self.voxel_size,
                              self.point_cloud_range,
-                             max_voxels=self.max_voxels,
+                             max_voxels=_cap(self.max_voxels, train),
                              max_points=self.max_points)
 
     def __call__(self, points, train: bool = False):
@@ -57,7 +66,7 @@ class VoxelNet(nn.Module):
 
         Returns the Anchor3DHead outputs over the fused BEV map.
         """
-        voxels, coors, num_points, _ = self.voxelize(points)
+        voxels, coors, num_points, _ = self.voxelize(points, train)
         if self.voxel_encoder is None:
             feats = hard_simple_vfe(voxels, num_points,
                                     self.num_features)
@@ -122,9 +131,12 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
     hd = cfg["bbox_head"]
 
     dynamic = cfg["type"] == "DynamicVoxelNet"
-    max_voxels = vl["max_voxels"]
-    if isinstance(max_voxels, (tuple, list)):
-        max_voxels = max(max_voxels)
+    max_voxels_cfg = vl["max_voxels"]
+    if isinstance(max_voxels_cfg, (tuple, list)):
+        max_voxels_cfg = tuple(int(v) for v in max_voxels_cfg)
+        max_voxels = max(max_voxels_cfg)  # single cap for dynamic VFE
+    else:
+        max_voxels = int(max_voxels_cfg)
 
     vs = tuple(vl["voxel_size"])
     pc = tuple(vl["point_cloud_range"])
@@ -229,13 +241,14 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
             dtype=compute_dtype)
 
     kwargs = dict(voxel_size=vs, point_cloud_range=pc,
-                  max_voxels=int(max_voxels), middle_encoder=middle,
+                  middle_encoder=middle,
                   backbone=backbone, neck=neck, bbox_head=head,
                   voxel_encoder=encoder)
     if dynamic:
-        model = DynamicVoxelNet(**kwargs)
+        model = DynamicVoxelNet(max_voxels=int(max_voxels), **kwargs)
     else:
-        model = VoxelNet(max_points=int(vl["max_num_points"]), **kwargs)
+        model = VoxelNet(max_points=int(vl["max_num_points"]),
+                         max_voxels=max_voxels_cfg, **kwargs)
 
     # head-input BEV size: middle output, backbone stage-0 stride,
     # neck level-0 upsample

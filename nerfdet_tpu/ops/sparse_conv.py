@@ -35,7 +35,9 @@ sparse path is O(V·K·C²) ≈ a few GFLOP.
 
 from __future__ import annotations
 
+import functools
 import itertools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -194,7 +196,6 @@ def subm_conv(feats, coords, idx_vol, kernel,
     if nbr is None:
         nbr = neighbor_indices(coords, idx_vol, feats.shape[0], in_shape,
                                ks, 1, pd)
-    import os
     custom = os.environ.get("NERFDET_TPU_SUBM_VJP", "1") == "1"
     if custom and all(2 * pd[i] == ks[i] - 1 for i in range(3)):
         out = _subm_gemm(feats, kernel, nbr)
@@ -306,6 +307,277 @@ def scatter_bev(feats, coords, shape: Tuple[int, int, int]):
     vol = vol.at[lin].set(jnp.where(valid[:, None], feats, 0))
     vol = vol[: d * h * w].reshape(d, h, w, c)
     return jnp.transpose(vol, (1, 2, 0, 3)).reshape(h, w, d * c)
+
+
+# ---------------------------------------------------------------------------
+# Column-sparse (z-dense) formulation
+#
+# KITTI-style LiDAR scenes are a 2.5D surface: the active set is sparse
+# in (y, x) but z spans only a handful of slots (41 at the input grid).
+# Folding z into a dense per-column axis turns the 3x3x3 conv's 27-row
+# neighbor gather into a 9-row COLUMN gather whose rows are (D*C)-wide —
+# on TPU gathers are bound by row count (PERF.md), so this trades a 3x
+# row reduction (and a 40x smaller index volume: (H*W) instead of
+# (D*H*W)) for z-dense matmul FLOPs that are ~free on the MXU. Numerics
+# stay spconv-exact: inactive z slots hold zeros (so they contribute
+# nothing as inputs) and every layer re-masks its output to the active
+# set (submanifold) or to the covered set (regular conv), which is
+# computed by dilating the occupancy mask with the same geometry.
+# ---------------------------------------------------------------------------
+
+
+def voxels_to_columns(feats, coords, shape: Tuple[int, int, int]):
+    """(V, C) voxel table -> column table, z folded dense.
+
+    Returns ``(col_feats (V, D, C), col_yx (V, 2), col_mask (V, D))``
+    with at most V distinct (y, x) columns (slots beyond the distinct
+    count are empty: ``col_yx = -1``). Deterministic: columns appear in
+    ascending (y*W + x) order.
+    """
+    d, h, w = shape
+    v = coords.shape[0]
+    valid = jnp.all(coords >= 0, axis=-1)
+    lin = jnp.where(valid, coords[..., 1] * w + coords[..., 2], h * w)
+    order = jnp.argsort(lin)
+    slin = lin[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), slin[1:] != slin[:-1]])
+    slot_sorted = jnp.cumsum(first) - 1  # column slot per sorted voxel
+    # slot per ORIGINAL voxel row
+    slot = jnp.zeros((v,), jnp.int32).at[order].set(
+        slot_sorted.astype(jnp.int32))
+    svalid = slin < h * w
+    col_yx = jnp.full((v + 1, 2), -1, jnp.int32).at[
+        jnp.where(first & svalid, slot_sorted, v)].set(
+        jnp.stack([slin // w, slin % w], -1).astype(jnp.int32))[:v]
+    zrow = jnp.where(valid, coords[..., 0], d)
+    col_feats = jnp.zeros((v + 1, d + 1, feats.shape[-1]), feats.dtype)
+    col_feats = col_feats.at[jnp.where(valid, slot, v), zrow].set(feats)
+    col_mask = jnp.zeros((v + 1, d + 1), bool).at[
+        jnp.where(valid, slot, v), zrow].set(valid)
+    return col_feats[:v, :d], col_yx, col_mask[:v, :d]
+
+
+def build_col_index(col_yx, hw: Tuple[int, int], sentinel: int):
+    """Scatter column slots into a dense ``(H*W,)`` int32 lookup map."""
+    h, w = hw
+    v = col_yx.shape[0]
+    valid = jnp.all(col_yx >= 0, axis=-1)
+    lin = jnp.where(valid, col_yx[..., 0] * w + col_yx[..., 1], h * w)
+    vol = jnp.full((h * w + 1,), sentinel, jnp.int32)
+    vol = vol.at[lin].set(jnp.where(valid, jnp.arange(v, dtype=jnp.int32),
+                                    sentinel))
+    return vol[: h * w]
+
+
+def col_neighbor_indices(out_yx, idx2, sentinel: int, hw: Tuple[int, int],
+                         kernel_yx, stride_yx=(1, 1), padding_yx=(0, 0)):
+    """Column slot per (output column, yx kernel offset): (V, Kyx)."""
+    ky, kx = kernel_yx
+    offs = jnp.asarray(
+        np.array(list(itertools.product(range(ky), range(kx))), np.int32))
+    base = (out_yx[:, None, :] * jnp.asarray(stride_yx, jnp.int32)
+            - jnp.asarray(padding_yx, jnp.int32))
+    nbr = base + offs[None, :, :]
+    shp = jnp.asarray(hw)
+    inb = jnp.all((nbr >= 0) & (nbr < shp), axis=-1)
+    inb &= jnp.all(out_yx >= 0, axis=-1)[:, None]
+    lin = jnp.where(inb, nbr[..., 0] * hw[1] + nbr[..., 1], 0)
+    rows = idx2[lin.reshape(-1)].reshape(lin.shape)
+    return jnp.where(inb, rows, sentinel)
+
+
+def _z_tap_block(rows, kz: int, sz: int, pz: int, d_out: int):
+    """(V, D, C) -> (V, D_out, kz*C) strided z-tap block.
+
+    Channel block ``i*C:(i+1)*C`` holds input slice ``z_in = z_out*sz -
+    pz + i`` (zero padding outside the input range) — matching a
+    ``(kz*C_in, C_out)`` reshape of a per-yx-offset kernel slice.
+    """
+    v, d, c = rows.shape
+    pad_hi = max(0, (d_out - 1) * sz - pz + (kz - 1) - (d - 1))
+    rp = jnp.pad(rows, ((0, 0), (pz, pad_hi), (0, 0)))
+    taps = [jax.lax.slice_in_dim(rp, i, i + (d_out - 1) * sz + 1, sz,
+                                 axis=1)
+            for i in range(kz)]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _col_gemm(col_feats, kernel, nbr, d_out: int, sz: int, pz: int):
+    """Column conv core: per-yx-offset gather + z-tap GEMM accumulation.
+
+    One (V_out,)-row gather per yx offset (sentinel rows read zeros) —
+    never materializes a (V, Kyx, D, C) block (an earlier whole-block
+    formulation OOMed at the KITTI grid: the block plus its layout
+    transposes were ~0.5-1.7 GB per conv and autodiff kept them all as
+    residuals).
+    """
+    kz, ky, kx, cin, cout = kernel.shape
+    v, d, c = col_feats.shape
+    table = jnp.concatenate(
+        [col_feats, jnp.zeros((1, d, c), col_feats.dtype)], axis=0)
+    vout = nbr.shape[0]
+    wk = kernel.reshape(kz, ky * kx, cin, cout).astype(col_feats.dtype)
+    out = jnp.zeros((vout * d_out, cout), col_feats.dtype)
+    for o in range(ky * kx):
+        rows = table[jnp.clip(nbr[:, o], 0, v)]          # (vout, D, C)
+        blk = _z_tap_block(rows, kz, sz, pz, d_out)
+        out = out + jax.lax.dot(
+            blk.reshape(vout * d_out, kz * c),
+            wk[:, o].reshape(kz * cin, cout),
+            preferred_element_type=col_feats.dtype)
+    return out.reshape(vout, d_out, cout)
+
+
+@jax.custom_vjp
+def _col_subm_gemm(col_feats, kernel, nbr):
+    """Submanifold column conv with a scatter-free backward.
+
+    The column twin of :func:`_subm_gemm`: for the centered stride-1
+    geometry the yx neighbor table is symmetric under offset reversal
+    (``nbr[j, o] = i  <=>  nbr[i, Kyx-1-o] = j``), so the input
+    cotangent is ANOTHER column conv of the output cotangent through
+    the SAME table with the kernel reversed in z and yx and transposed
+    in channels; the kernel cotangent re-gathers the inputs into one
+    tall matmul per yx offset. No scatter anywhere, and only
+    ``(col_feats, kernel, nbr)`` are saved — the per-offset gathers are
+    recomputed, capping residual memory at the layer inputs.
+    """
+    kz = kernel.shape[0]
+    return _col_gemm(col_feats, kernel, nbr, col_feats.shape[1], 1,
+                     (kz - 1) // 2)
+
+
+def _col_subm_gemm_fwd(col_feats, kernel, nbr):
+    return _col_subm_gemm(col_feats, kernel, nbr), (col_feats, kernel,
+                                                    nbr)
+
+
+def _col_subm_gemm_bwd(res, g):
+    col_feats, kernel, nbr = res
+    kz, ky, kx, cin, cout = kernel.shape
+    v, d, c = col_feats.shape
+    pz = (kz - 1) // 2
+    # dX: column conv of g with the z- and yx-reversed, channel-
+    # transposed kernel through the unflipped neighbor table.
+    w_rev = jnp.flip(kernel.reshape(kz, ky * kx, cin, cout),
+                     axis=(0, 1))
+    w_rev = jnp.swapaxes(w_rev, 2, 3).reshape(kz, ky, kx, cout, cin)
+    dx = _col_gemm(g.astype(col_feats.dtype), w_rev, nbr, d, 1, pz)
+    # dW[kz, o] = x_tap_o^T @ g  (contract over all output sites)
+    table = jnp.concatenate(
+        [col_feats, jnp.zeros((1, d, c), col_feats.dtype)], axis=0)
+    g2 = g.reshape(v * d, cout).astype(col_feats.dtype)
+    dws = []
+    for o in range(ky * kx):
+        rows = table[jnp.clip(nbr[:, o], 0, v)]
+        blk = _z_tap_block(rows, kz, 1, pz, d)
+        dws.append(jax.lax.dot(blk.reshape(v * d, kz * c).T, g2,
+                               preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws, 0).reshape(ky * kx, kz, cin, cout)
+    dw = jnp.transpose(dw, (1, 0, 2, 3)).reshape(kernel.shape)
+    return (dx.astype(col_feats.dtype), dw.astype(kernel.dtype),
+            np.zeros(nbr.shape, jax.dtypes.float0))
+
+
+_col_subm_gemm.defvjp(_col_subm_gemm_fwd, _col_subm_gemm_bwd)
+
+
+def _dilate_col_mask(col_mask, nbr, kz: int, sz: int, pz: int,
+                     d_out: int):
+    """Covered-set mask of a regular column conv: occupancy dilated
+    through the conv geometry, per yx offset (no (V, Kyx, D) block)."""
+    v, d = col_mask.shape
+    table = jnp.concatenate(
+        [col_mask, jnp.zeros((1, d), bool)], axis=0).astype(jnp.int8)
+    acc = jnp.zeros((nbr.shape[0], d_out), jnp.int8)
+    for o in range(nbr.shape[1]):
+        rows = table[jnp.clip(nbr[:, o], 0, v)][..., None]
+        blk = _z_tap_block(rows, kz, sz, pz, d_out)  # (V, D_out, kz)
+        acc = acc | jnp.any(blk > 0, axis=-1).astype(jnp.int8)
+    return acc > 0
+
+
+def col_conv(col_feats, col_mask, nbr, kernel, stride=(1, 1, 1),
+             padding=(0, 0, 0), subm: bool = False):
+    """Sparse 3D conv in column form.
+
+    ``kernel`` is the dense ``(kz, ky, kx, C_in, C_out)`` layout shared
+    with the row formulation (`_Kernel5`) — parameter trees interop.
+    ``nbr (V_out, ky*kx)`` indexes INPUT columns per output column (from
+    :func:`col_neighbor_indices`, stride/padding already applied in yx).
+    Returns ``(out (V_out, D_out, C_out), out_mask (V_out, D_out))``
+    where ``out_mask`` is the input mask (submanifold) or the covered
+    set (regular conv, occupancy dilated through the same geometry).
+
+    Submanifold convs with centered padding take the scatter-free
+    custom-VJP path (:func:`_col_subm_gemm`); strided convs run under
+    :func:`jax.checkpoint` so their per-offset gathers are recomputed
+    in the backward instead of held as residuals.
+    """
+    kz, ky, kx, cin, cout = kernel.shape
+    st, pd = _as3(stride), _as3(padding)
+    sz, pz = st[0], pd[0]
+    d = col_feats.shape[1]
+    d_out = d if subm else (d + 2 * pz - kz) // sz + 1
+    kernel = kernel.astype(col_feats.dtype)
+    centered = (2 * pz == kz - 1 and 2 * pd[1] == ky - 1
+                and 2 * pd[2] == kx - 1)
+    custom = os.environ.get("NERFDET_TPU_SUBM_VJP", "1") == "1"
+    if subm and centered and st == (1, 1, 1) and custom:
+        out = _col_subm_gemm(col_feats, kernel, nbr)
+    else:
+        out = jax.checkpoint(
+            functools.partial(_col_gemm, d_out=d_out, sz=sz, pz=pz))(
+            col_feats, kernel, nbr)
+    if subm:
+        out_mask = col_mask
+    else:
+        out_mask = _dilate_col_mask(col_mask, nbr, kz, sz, pz, d_out)
+    return out * out_mask[..., None].astype(out.dtype), out_mask
+
+
+def downsample_columns(col_yx, hw: Tuple[int, int], kernel_yx, stride_yx,
+                       padding_yx, vmax: int):
+    """Active output columns of a yx-strided conv (2D twin of
+    :func:`downsample_active`): dedup via two sorts, lexicographic
+    first-``vmax`` selection. Returns (out_yx (vmax, 2), out_hw)."""
+    ky, kx = kernel_yx
+    sy, sx = stride_yx
+    py, px = padding_yx
+    oh = (hw[0] + 2 * py - ky) // sy + 1
+    ow = (hw[1] + 2 * px - kx) // sx + 1
+    offs = jnp.asarray(
+        np.array(list(itertools.product(range(ky), range(kx))), np.int32))
+    valid_in = jnp.all(col_yx >= 0, axis=-1)
+    num = col_yx[:, None, :] + jnp.asarray((py, px)) - offs[None, :, :]
+    stv = jnp.asarray((sy, sx))
+    q = num // stv
+    ok = (num % stv == 0) & (q >= 0) & (q < jnp.asarray((oh, ow)))
+    ok = jnp.all(ok, axis=-1) & valid_in[:, None]
+    big = oh * ow
+    lin = jnp.where(ok, q[..., 0] * ow + q[..., 1], big).reshape(-1)
+    flat = jnp.sort(lin)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]]) & (flat < big)
+    sites = jnp.sort(jnp.where(first, flat, big))[:vmax]
+    got = sites < big
+    out = jnp.stack([sites // ow, sites % ow], -1).astype(jnp.int32)
+    return jnp.where(got[:, None], out, -1), (oh, ow)
+
+
+def scatter_bev_columns(col_feats, col_mask, col_yx,
+                        hw: Tuple[int, int]):
+    """(V, D, C) columns -> dense (H, W, D*C) BEV map (same layout as
+    :func:`scatter_bev`: depth folded into channels)."""
+    h, w = hw
+    v, d, c = col_feats.shape
+    valid = jnp.all(col_yx >= 0, axis=-1)
+    lin = jnp.where(valid, col_yx[..., 0] * w + col_yx[..., 1], h * w)
+    rows = (col_feats * col_mask[..., None].astype(col_feats.dtype)
+            ).reshape(v, d * c)
+    vol = jnp.zeros((h * w + 1, d * c), col_feats.dtype)
+    vol = vol.at[lin].set(jnp.where(valid[:, None], rows, 0))
+    return vol[: h * w].reshape(h, w, d * c)
 
 
 class MaskedBatchNorm(nn.Module):

@@ -210,12 +210,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="perf_report.json")
     p.add_argument("--skip-lidar", action="store_true")
+    p.add_argument("--only-lidar", action="store_true")
     args = p.parse_args()
 
     import jax
 
     report = dict(platform=jax.devices()[0].platform)
-    _bench_flagship(report)
+    if not args.only_lidar:
+        _bench_flagship(report)
     if not args.skip_lidar:
         _bench_second(report)
     print(json.dumps(report))
