@@ -24,6 +24,7 @@ from ..nn.middle_encoders import PointPillarsScatter, make_sparse_encoder
 from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import HardVFE, PillarFeatureNet, hard_simple_vfe
 from ..ops.voxelize import voxelize_hard
+from ..ops.voxelize import static_capacity as _cap
 
 
 class CenterPoint(nn.Module):
@@ -32,7 +33,7 @@ class CenterPoint(nn.Module):
     voxel_size: Tuple[float, float, float]
     point_cloud_range: Tuple[float, ...]
     max_points: int
-    max_voxels: int
+    max_voxels: Any  # int, or (train_cap, test_cap) like the reference
     middle_encoder: nn.Module
     backbone: SECOND
     neck: SECONDFPN
@@ -43,7 +44,8 @@ class CenterPoint(nn.Module):
     def __call__(self, points, train: bool = False):
         voxels, coors, num_points, _ = voxelize_hard(
             points, self.voxel_size, self.point_cloud_range,
-            max_voxels=self.max_voxels, max_points=self.max_points)
+            max_voxels=_cap(self.max_voxels, train),
+            max_points=self.max_points)
         if self.voxel_encoder is None:
             feats = hard_simple_vfe(voxels, num_points, self.num_features)
         else:
@@ -78,7 +80,7 @@ def build_centerpoint(cfg: Dict, compute_dtype=jnp.float32):
     pc = tuple(vl["point_cloud_range"])
     max_voxels = vl["max_voxels"]
     if isinstance(max_voxels, (tuple, list)):
-        max_voxels = max(max_voxels)
+        max_voxels = tuple(int(v) for v in max_voxels)
     num_feat = ve.get("num_features", ve.get("in_channels", 4))
 
     ve_type = ve.get("type", "HardSimpleVFE")

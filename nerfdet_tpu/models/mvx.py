@@ -29,6 +29,7 @@ from ..nn.fpn import FPN
 from ..nn.middle_encoders import PointPillarsScatter, make_sparse_encoder
 from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import DynamicVFE, HardVFE, PillarFeatureNet
+from ..ops.voxelize import static_capacity as _cap
 from ..ops.voxelize import voxelize_dynamic, voxelize_hard
 
 
@@ -47,7 +48,7 @@ class MVXFasterRCNN(nn.Module):
     voxel_size: Tuple[float, float, float]
     point_cloud_range: Tuple[float, ...]
     max_points: int
-    max_voxels: int
+    max_voxels: Any  # int, or (train_cap, test_cap) like the reference
     pts_voxel_encoder: nn.Module
     pts_middle_encoder: nn.Module
     pts_backbone: SECOND
@@ -88,7 +89,8 @@ class MVXFasterRCNN(nn.Module):
         else:
             voxels, coors, num_points, _ = voxelize_hard(
                 points, self.voxel_size, self.point_cloud_range,
-                max_voxels=self.max_voxels, max_points=self.max_points)
+                max_voxels=_cap(self.max_voxels, train),
+                max_points=self.max_points)
             feats = self.pts_voxel_encoder(voxels, num_points, coors,
                                            train=train)
         x = self.pts_middle_encoder(feats, coors, train=train)
@@ -123,8 +125,10 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
     pc = tuple(vl["point_cloud_range"])
     max_voxels = vl["max_voxels"]
     if isinstance(max_voxels, (tuple, list)):
-        max_voxels = max(max_voxels)
-    if max_voxels is None or max_voxels < 0:
+        max_voxels = (max(max_voxels) if dynamic
+                      else tuple(int(v) for v in max_voxels))
+    if max_voxels is None or (isinstance(max_voxels, int)
+                              and max_voxels < 0):
         # the reference's dynamic configs put no cap (`max_voxels=-1`);
         # the static-shape scatter needs one — a generous default that
         # covers KITTI-scale occupancy
@@ -150,7 +154,9 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
         encoder = DynamicVFE(
             with_cluster_center=ve.get("with_cluster_center", True),
             with_voxel_center=ve.get("with_voxel_center", True),
-            max_voxels=int(max_voxels),
+            max_voxels=(max(max_voxels)
+                        if isinstance(max_voxels, tuple)
+                        else int(max_voxels)),
             grid_zyx=(int(grid[2]), int(grid[1]), int(grid[0])),
             **common)
     else:
@@ -266,7 +272,7 @@ def build_mvx(cfg: Dict, compute_dtype=jnp.float32):
     model = MVXFasterRCNN(
         voxel_size=vs, point_cloud_range=pc,
         max_points=max(int(vl["max_num_points"]), 1),
-        max_voxels=int(max_voxels), dynamic=dynamic,
+        max_voxels=max_voxels, dynamic=dynamic,
         pts_voxel_encoder=encoder, pts_middle_encoder=middle,
         pts_backbone=backbone, pts_neck=neck, pts_bbox_head=head,
         img_backbone=img_backbone, img_neck=img_neck,

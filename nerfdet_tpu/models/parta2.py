@@ -39,13 +39,14 @@ from ..nn.second import SECOND, SECONDFPN
 from ..ops.roiaware_pool import roiaware_pool3d
 from ..nn.voxel_encoders import hard_simple_vfe
 from ..ops.voxelize import voxelize_hard
+from ..ops.voxelize import static_capacity as _cap
 
 
 class PartA2(nn.Module):
     voxel_size: Tuple[float, float, float]
     point_cloud_range: Tuple[float, ...]
     max_points: int
-    max_voxels: int
+    max_voxels: Any  # int, or (train_cap, test_cap) like the reference
     middle_encoder: nn.Module  # SparseUNet (dense or sparse formulation)
     backbone: SECOND
     neck: SECONDFPN
@@ -75,7 +76,8 @@ class PartA2(nn.Module):
         """(N, C) one cloud -> first-stage outputs (RPN + semantics)."""
         voxels, coors, num_points, _ = voxelize_hard(
             points, self.voxel_size, self.point_cloud_range,
-            max_voxels=self.max_voxels, max_points=self.max_points)
+            max_voxels=_cap(self.max_voxels, train),
+            max_points=self.max_points)
         feats = hard_simple_vfe(voxels, num_points, self.num_features)
         mid = self.middle_encoder(feats, coors, train=train)
         x = self.backbone(mid["spatial_features"], train=train)
@@ -206,7 +208,7 @@ def build_parta2(cfg: Dict, compute_dtype=jnp.float32):
     pc = tuple(vl["point_cloud_range"])
     max_voxels = vl["max_voxels"]
     if isinstance(max_voxels, (tuple, list)):
-        max_voxels = max(max_voxels)
+        max_voxels = tuple(int(v) for v in max_voxels)
 
     middle = make_sparse_unet(
         formulation=me.get("formulation"),
@@ -243,7 +245,7 @@ def build_parta2(cfg: Dict, compute_dtype=jnp.float32):
     model = PartA2(
         voxel_size=vs, point_cloud_range=pc,
         max_points=int(vl["max_num_points"]),
-        max_voxels=int(max_voxels), middle_encoder=middle,
+        max_voxels=max_voxels, middle_encoder=middle,
         backbone=backbone, neck=neck, rpn_head=head,
         num_classes=hd["num_classes"],
         seg_channels=middle.decoder_channels[-1][-1])

@@ -27,15 +27,7 @@ from ..nn.second import SECOND, SECONDFPN
 from ..nn.voxel_encoders import (DynamicVFE, HardVFE, PillarFeatureNet,
                                  dynamic_simple_vfe, hard_simple_vfe)
 from ..ops.voxelize import voxelize_dynamic, voxelize_hard
-
-
-def _cap(max_voxels, train: bool) -> int:
-    """Static voxel-table capacity: the reference's ``max_voxels``
-    may be a ``(train, test)`` pair (`voxelize.forward`); ``train`` is
-    a Python bool so each mode traces its own table size."""
-    if isinstance(max_voxels, (tuple, list)):
-        return int(max_voxels[0] if train else max_voxels[1])
-    return int(max_voxels)
+from ..ops.voxelize import static_capacity as _cap
 
 
 class VoxelNet(nn.Module):

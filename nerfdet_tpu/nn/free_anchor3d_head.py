@@ -61,9 +61,9 @@ def free_anchor3d_loss(cls_score, bbox_pred, dir_cls, anchors,
     # padded GT rows are all-zero; log(0/wa) in the encode would send
     # inf through the (masked) loss and NaN the backward — substitute
     # a unit box for them (their loss terms carry weight 0 anyway)
-    safe = jnp.asarray([0, 0, 0, 1, 1, 1, 0], gt_boxes.dtype)
-    gt_boxes = jnp.where(gt_mask[:, None], gt_boxes,
-                         safe[None, : gt_boxes.shape[-1]])
+    code = gt_boxes.shape[-1]  # 7, or 9 with velocity components
+    safe = jnp.zeros((code,), gt_boxes.dtype).at[3:6].set(1.0)
+    gt_boxes = jnp.where(gt_mask[:, None], gt_boxes, safe[None, :])
 
     coder = DeltaXYZWLHRBBoxCoder()
 

@@ -35,6 +35,16 @@ def _coords_and_valid(points, voxel_size, pc_range):
     return coords, valid, grid
 
 
+def static_capacity(max_voxels, train: bool) -> int:
+    """Static voxel-table capacity for one trace. The reference's
+    ``max_voxels`` may be a ``(train, test)`` pair
+    (`mmdet3d/ops/voxel/voxelize.py:Voxelization.forward`); ``train``
+    is a Python bool, so each mode compiles its own table size."""
+    if isinstance(max_voxels, (tuple, list)):
+        return int(max_voxels[0] if train else max_voxels[1])
+    return int(max_voxels)
+
+
 @partial(jax.jit, static_argnames=("max_voxels", "max_points"))
 def voxelize_hard(points, voxel_size, pc_range, max_voxels: int,
                   max_points: int):
