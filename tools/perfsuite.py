@@ -138,24 +138,12 @@ def _bench_flagship(report):
         iters * rays / (time.perf_counter() - t0))
 
 
-def _bench_second(report):
+def _kitti_scene(seed: int = 0, n: int = 18000):
     import numpy as np
 
-    import jax
     import jax.numpy as jnp
 
-    from nerfdet_tpu.config import Config
-    from nerfdet_tpu.models.voxelnet import build_voxelnet
-    from nerfdet_tpu.train import TrainState, build_optimizer
-    from nerfdet_tpu.train.points_step import (make_points_train_step,
-                                               voxelnet_scene_loss)
-
-    cfg = Config.fromfile(
-        "configs/second/hv_second_secfpn_6x8_80e_kitti-3d-3class.py")
-    model, anchors = build_voxelnet(cfg.model,
-                                    compute_dtype=jnp.bfloat16)
-    rng_np = np.random.RandomState(0)
-    n = 18000
+    rng_np = np.random.RandomState(seed)
     pts = np.stack([rng_np.uniform(0, 70.4, n),
                     rng_np.uniform(-40, 40, n),
                     rng_np.uniform(-3, 1, n),
@@ -171,39 +159,147 @@ def _bench_second(report):
                        rng_np.uniform(-3.14, 3.14, 6)], -1)
     labels = -np.ones((max_gt,), np.int32)
     labels[:6] = rng_np.randint(0, 3, 6)
-    scene = dict(points=jnp.asarray(pts)[None],
-                 gt_bboxes_3d=jnp.asarray(gt)[None],
-                 gt_labels_3d=jnp.asarray(labels)[None])
-    variables = jax.jit(
-        lambda k: model.init(k, scene["points"][0], train=True))(
-        jax.random.PRNGKey(0))
-    tx = build_optimizer(variables["params"],
-                         dict(type="AdamW", lr=3e-3, weight_decay=0.01),
-                         grad_clip=dict(max_norm=35.0))
-    state = TrainState.create(variables["params"],
-                              variables.get("batch_stats", {}), tx)
-    scene_loss = voxelnet_scene_loss(
-        model, anchors, dict(cfg.train_cfg),
-        cfg.model["bbox_head"]["num_classes"])
-    step = make_points_train_step(model, tx, scene_loss)
+    return dict(points=jnp.asarray(pts)[None],
+                gt_bboxes_3d=jnp.asarray(gt)[None],
+                gt_labels_3d=jnp.asarray(labels)[None])
+
+
+def _time_step(step, state, scene, iters: int = 10, warmup: int = 4):
+    """PERF.md methodology: jit, warm, one device_get at the end."""
+    import jax
+
     rng = jax.random.PRNGKey(1)
-    state, _ = step(state, scene, rng)
-    jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
-                   .ravel()[:1])
-    for _ in range(3):
+    for _ in range(warmup):
         rng, sub = jax.random.split(rng)
         state, _ = step(state, scene, sub)
     jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
                    .ravel()[:1])
     t0 = time.perf_counter()
-    iters = 10
     for _ in range(iters):
         rng, sub = jax.random.split(rng)
         state, _ = step(state, scene, sub)
     jax.device_get(jax.tree_util.tree_leaves(state.params)[0]
                    .ravel()[:1])
-    report["second_train_ms_per_step_bf16"] = round(
-        (time.perf_counter() - t0) / iters * 1e3, 1)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _make_state(variables, lr: float = 3e-3):
+    from nerfdet_tpu.train import TrainState, build_optimizer
+
+    tx = build_optimizer(variables["params"],
+                         dict(type="AdamW", lr=lr, weight_decay=0.01),
+                         grad_clip=dict(max_norm=35.0))
+    return TrainState.create(variables["params"],
+                             variables.get("batch_stats", {}), tx), tx
+
+
+def _bench_voxelnet_family(report, key, cfg_path, ref_ms):
+    """Train-step bench for a VoxelNet-family KITTI config (SECOND,
+    PointPillars). ``ref_ms`` = reference ms/sample/GPU from
+    `docs/benchmarks.md:16-25` (samples/s on 8 V100 / 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.voxelnet import build_voxelnet
+    from nerfdet_tpu.train.points_step import (make_points_train_step,
+                                               voxelnet_scene_loss)
+
+    cfg = Config.fromfile(cfg_path)
+    model, anchors = build_voxelnet(cfg.model,
+                                    compute_dtype=jnp.bfloat16)
+    scene = _kitti_scene()
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0], train=True))(
+        jax.random.PRNGKey(0))
+    state, tx = _make_state(variables)
+    scene_loss = voxelnet_scene_loss(
+        model, anchors, dict(cfg.train_cfg),
+        cfg.model["bbox_head"]["num_classes"])
+    step = make_points_train_step(model, tx, scene_loss)
+    ms = _time_step(step, state, scene)
+    report[f"{key}_train_ms_per_step_bf16"] = round(ms, 1)
+    report[f"{key}_ref_train_ms_per_gpu"] = ref_ms
+
+
+def _bench_second(report):
+    _bench_voxelnet_family(
+        report, "second",
+        "configs/second/hv_second_secfpn_6x8_80e_kitti-3d-3class.py",
+        ref_ms=200.0)
+
+
+def _bench_pointpillars(report):
+    _bench_voxelnet_family(
+        report, "pointpillars",
+        "configs/pointpillars/"
+        "hv_pointpillars_secfpn_6x8_160e_kitti-3d-3class.py",
+        ref_ms=74.8)
+
+
+def _bench_parta2(report):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.parta2 import build_parta2
+    from nerfdet_tpu.train.points_step import (make_points_train_step,
+                                               parta2_scene_loss)
+
+    cfg = Config.fromfile(
+        "configs/parta2/hv_PartA2_secfpn_2x8_cyclic_80e_kitti-3d-3class.py")
+    model, anchors = build_parta2(cfg.model, compute_dtype=jnp.bfloat16)
+    scene = _kitti_scene()
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0],
+                             method=model.init_full))(
+        jax.random.PRNGKey(0))
+    state, tx = _make_state(variables)
+    step = make_points_train_step(
+        model, tx, parta2_scene_loss(model, anchors,
+                                     dict(cfg.train_cfg)))
+    ms = _time_step(step, state, scene, iters=6, warmup=3)
+    report["parta2_train_ms_per_step_bf16"] = round(ms, 1)
+    report["parta2_ref_train_ms_per_gpu"] = 470.0
+
+
+def _bench_votenet(report):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.builder import build_model
+    from nerfdet_tpu.train.points_step import (make_points_train_step,
+                                               votenet_scene_loss)
+
+    cfg = Config.fromfile("configs/votenet/votenet_8x8_scannet-3d-18class.py")
+    model = build_model(cfg.model, compute_dtype=jnp.bfloat16)
+    rng_np = np.random.RandomState(0)
+    n = 40000  # reference ScanNet PointSample size
+    pts = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng_np.uniform(0, 2.5, n)
+    height = (pts[:, 2] - np.percentile(pts[:, 2], 0.99))[:, None]
+    cloud = np.concatenate([pts, height], -1).astype(np.float32)
+    max_gt = 32
+    gt = np.zeros((max_gt, 7), np.float32)
+    gt[:8, :3] = rng_np.uniform(-2, 2, (8, 3))
+    gt[:8, 3:6] = rng_np.uniform(0.4, 1.6, (8, 3))
+    labels = -np.ones((max_gt,), np.int32)
+    labels[:8] = rng_np.randint(0, 18, 8)
+    scene = dict(points=jnp.asarray(cloud)[None],
+                 gt_boxes=jnp.asarray(gt)[None],
+                 gt_labels=jnp.asarray(labels)[None],
+                 gt_mask=jnp.asarray(labels >= 0)[None])
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0], train=True))(
+        jax.random.PRNGKey(0))
+    state, tx = _make_state(variables)
+    step = make_points_train_step(model, tx, votenet_scene_loss(model))
+    ms = _time_step(step, state, scene)
+    report["votenet_train_ms_per_step_bf16"] = round(ms, 1)
+    report["votenet_ref_train_ms_per_gpu"] = 22.3
 
 
 def main():
@@ -219,7 +315,12 @@ def main():
     if not args.only_lidar:
         _bench_flagship(report)
     if not args.skip_lidar:
-        _bench_second(report)
+        for fn in (_bench_second, _bench_pointpillars, _bench_parta2,
+                   _bench_votenet):
+            try:
+                fn(report)
+            except Exception as e:  # keep the suite one-shot
+                report[fn.__name__ + "_error"] = repr(e)[:200]
     print(json.dumps(report))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
