@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -179,6 +180,159 @@ int64_t aligned_nms_3d(const float *boxes, const float *classes,
     }
   }
   return n_keep;
+}
+
+// Farthest-point sampling — host twin of the reference CUDA kernel
+// (mmdet3d/ops/furthest_point_sample/src/furthest_point_sample_cuda.cu):
+// start at index 0, f32 running min-distance, argmax picks the FIRST
+// maximum. Sequential over selections (inherent), OpenMP inside each
+// distance update + argmax pass. Moves the PointNet++ backbones'
+// only serial op off the TPU step's critical path (data pipeline
+// precompute; PERF.md "VoteNet decomposition").
+void fps_sample(const float *xyz, int64_t n, int64_t m, int32_t *out) {
+  if (n <= 0 || m <= 0) return;
+  // SoA copies + three straight-line passes per selection so the
+  // compiler vectorizes (the fused update+argmax-tracking loop does
+  // not). Single-threaded: the loader parallelizes across scenes.
+  std::vector<float> xs(n), ys(n), zs(n);
+  for (int64_t k = 0; k < n; ++k) {
+    xs[k] = xyz[3 * k];
+    ys[k] = xyz[3 * k + 1];
+    zs[k] = xyz[3 * k + 2];
+  }
+  std::vector<float> mind(size_t(n),
+                          std::numeric_limits<float>::infinity());
+  constexpr int64_t L = 16;  // independent lanes: breaks the serial
+                             // max-reduce dependency chain, vectorizes
+  int32_t last = 0;
+  out[0] = 0;
+  for (int64_t i = 1; i < m; ++i) {
+    const float lx = xs[last], ly = ys[last], lz = zs[last];
+    float *mp = mind.data();
+    float lanes[L];
+    for (int64_t j = 0; j < L; ++j) lanes[j] = -1.f;
+    const int64_t nb = n / L * L;
+    for (int64_t k = 0; k < nb; k += L) {
+#pragma omp simd
+      for (int64_t j = 0; j < L; ++j) {  // fused update + lane maxima
+        const float dx = xs[k + j] - lx, dy = ys[k + j] - ly,
+                    dz = zs[k + j] - lz;
+        const float d = dx * dx + dy * dy + dz * dz;
+        const float v = d < mp[k + j] ? d : mp[k + j];
+        mp[k + j] = v;
+        lanes[j] = v > lanes[j] ? v : lanes[j];
+      }
+    }
+    float best = -1.f;
+    for (int64_t j = 0; j < L; ++j) best = std::max(best, lanes[j]);
+    for (int64_t k = nb; k < n; ++k) {  // tail
+      const float dx = xs[k] - lx, dy = ys[k] - ly, dz = zs[k] - lz;
+      const float d = dx * dx + dy * dy + dz * dz;
+      const float v = d < mp[k] ? d : mp[k];
+      mp[k] = v;
+      best = v > best ? v : best;
+    }
+    int64_t bidx = 0;
+    for (int64_t k = 0; k < n; k += L) {  // first occurrence of best
+      const int64_t e = std::min(k + L, n);
+      bool hit = false;
+      for (int64_t j = k; j < e; ++j) hit |= (mp[j] == best);
+      if (hit) {
+        for (int64_t j = k; j < e; ++j)
+          if (mp[j] == best) {
+            bidx = j;
+            break;
+          }
+        break;
+      }
+    }
+    last = int32_t(bidx);
+    out[i] = last;
+  }
+}
+
+// ball_query — host twin of the reference CUDA kernel
+// (mmdet3d/ops/ball_query/src/ball_query_cuda.cu): per center, the
+// first K points within radius in scan order; remaining slots repeat
+// the first hit (all zeros when no hit). Early-exits at K like the
+// kernel. Direct dx^2+dy^2+dz^2 in f32, matching the CUDA source
+// (the on-device JAX twin uses the matmul expansion — membership of
+// points numerically AT the radius boundary can differ; both are
+// exact ball queries).
+void ball_query_host(const float *centers, int64_t c, const float *xyz,
+                     int64_t n, float radius, int64_t k, int32_t *out) {
+  const float r2 = radius * radius;
+  if (n <= 0 || c <= 0 || k <= 0) return;
+  // Exact grid hash: cells of edge `radius`, points counting-sorted by
+  // cell (stable — within a cell, ascending original index). A ball of
+  // radius r spans <= 3 cells per axis; candidates from those cells
+  // are gathered, distance-checked with the SAME f32 arithmetic as a
+  // linear scan, sorted by original index, and the first K kept —
+  // identical output to the O(N)-per-center scan at a fraction of the
+  // work (~15-200 candidates vs N).
+  float lo[3] = {xyz[0], xyz[1], xyz[2]}, hi[3] = {xyz[0], xyz[1], xyz[2]};
+  for (int64_t j = 1; j < n; ++j)
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], xyz[3 * j + d]);
+      hi[d] = std::max(hi[d], xyz[3 * j + d]);
+    }
+  const double cell = double(radius) > 1e-12 ? double(radius) : 1e-12;
+  int64_t dims[3];
+  for (int d = 0; d < 3; ++d)
+    dims[d] = std::max<int64_t>(
+        1, int64_t((double(hi[d]) - double(lo[d])) / cell) + 1);
+  const int64_t ncell = dims[0] * dims[1] * dims[2];
+  auto cell_of = [&](double v, int d) {
+    int64_t q = int64_t((v - double(lo[d])) / cell);
+    return std::min(std::max<int64_t>(q, 0), dims[d] - 1);
+  };
+  std::vector<int64_t> start(ncell + 1, 0);
+  std::vector<int64_t> cid(n);
+  for (int64_t j = 0; j < n; ++j) {
+    cid[j] = (cell_of(xyz[3 * j], 0) * dims[1] +
+              cell_of(xyz[3 * j + 1], 1)) * dims[2] +
+             cell_of(xyz[3 * j + 2], 2);
+    ++start[cid[j] + 1];
+  }
+  for (int64_t q = 0; q < ncell; ++q) start[q + 1] += start[q];
+  std::vector<int32_t> bucket(n);
+  {
+    std::vector<int64_t> cur(start.begin(), start.end() - 1);
+    for (int64_t j = 0; j < n; ++j) bucket[cur[cid[j]]++] = int32_t(j);
+  }
+#pragma omp parallel
+  {
+    std::vector<int32_t> cand;
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < c; ++i) {
+      int32_t *row = out + i * k;
+      const float cx = centers[3 * i], cy = centers[3 * i + 1],
+                  cz = centers[3 * i + 2];
+      cand.clear();
+      const int64_t ax0 = cell_of(double(cx) - cell, 0),
+                    ax1 = cell_of(double(cx) + cell, 0),
+                    ay0 = cell_of(double(cy) - cell, 1),
+                    ay1 = cell_of(double(cy) + cell, 1),
+                    az0 = cell_of(double(cz) - cell, 2),
+                    az1 = cell_of(double(cz) + cell, 2);
+      for (int64_t qx = ax0; qx <= ax1; ++qx)
+        for (int64_t qy = ay0; qy <= ay1; ++qy)
+          for (int64_t qz = az0; qz <= az1; ++qz) {
+            const int64_t q = (qx * dims[1] + qy) * dims[2] + qz;
+            for (int64_t b = start[q]; b < start[q + 1]; ++b) {
+              const int32_t j = bucket[b];
+              const float dx = xyz[3 * j] - cx, dy = xyz[3 * j + 1] - cy,
+                          dz = xyz[3 * j + 2] - cz;
+              if (dx * dx + dy * dy + dz * dz < r2) cand.push_back(j);
+            }
+          }
+      std::sort(cand.begin(), cand.end());
+      const int64_t cnt = std::min<int64_t>(int64_t(cand.size()), k);
+      for (int64_t j = 0; j < cnt; ++j) row[j] = cand[j];
+      const int32_t fill = cnt > 0 ? row[0] : 0;
+      for (int64_t j = cnt; j < k; ++j) row[j] = fill;
+    }
+  }
 }
 
 // points_in_boxes: for each point, the index of the first box containing

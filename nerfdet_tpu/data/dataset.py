@@ -205,6 +205,11 @@ class ScanNetPointsDataset(ScanNetMultiViewDataset):
         self.augment = augment
         self.rot_range = rot_range
         self.flip_ratio = flip_ratio
+        # (num_points, radii, num_samples) of the consumer's PointNet++
+        # backbone: when set (tools/train.py), the SA sampling chain is
+        # precomputed here on the host and shipped with the scene —
+        # `ops/pointnet.host_sa_chain`
+        self.sa_spec = None
 
     def _indoor_augment(self, pts, boxes, rng):
         """Reference ScanNet train augmentations (RandomFlip3D with both
@@ -243,8 +248,15 @@ class ScanNetPointsDataset(ScanNetMultiViewDataset):
         if self.augment and not self.test_mode:
             pts, gt_boxes = self._indoor_augment(pts, gt_boxes, rng)
         boxes, labels, mask = pad_gt(gt_boxes, gt_labels, self.max_gt)
-        return dict(points=pts, gt_boxes=boxes, gt_labels=labels,
-                    gt_mask=mask)
+        out = dict(points=pts, gt_boxes=boxes, gt_labels=labels,
+                   gt_mask=mask)
+        if self.sa_spec is not None:
+            from ..ops.pointnet import host_sa_chain
+
+            sa = host_sa_chain(pts, *self.sa_spec)
+            if sa is not None:
+                out.update(sa)
+        return out
 
 
 def build_dataset(data_cfg: Dict, test_mode: bool = False,

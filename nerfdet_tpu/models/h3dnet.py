@@ -75,10 +75,11 @@ class H3DNet(nn.Module):
             num_proposal=self.num_proposal, dtype=self.dtype)
 
     def __call__(self, points, train: bool = False,
-                 sample_mod: str = "vote") -> Dict:
+                 sample_mod: str = "vote", sa_indices=None) -> Dict:
         """(N, 3+C) one cloud -> merged prediction dict (rpn keys,
         primitive keys, and ``*_optimized`` refinement keys)."""
-        feats = self.backbone(points, train=train)
+        feats = self.backbone(points, train=train,
+                              sa_indices=sa_indices)
         seed_xyz = feats["fp_xyz_net0"][-1]
         hd = feats["hd_feature"]
         rpn_feats = dict(fp_xyz=[seed_xyz], fp_features=[hd],

@@ -71,9 +71,13 @@ class VoteNet(nn.Module):
             dtype=self.dtype,
         )
 
-    def __call__(self, points, train: bool = False) -> Dict:
-        """points: (N, 3+extra) one cloud -> head prediction dict."""
-        feat = self.backbone(points, train=train)
+    def __call__(self, points, train: bool = False,
+                 sa_indices=None) -> Dict:
+        """points: (N, 3+extra) one cloud -> head prediction dict.
+
+        ``sa_indices``: optional host-precomputed sampling chain
+        (`ops/pointnet.host_sa_chain`) for the backbone."""
+        feat = self.backbone(points, train=train, sa_indices=sa_indices)
         return self.bbox_head(feat, train=train)
 
     def loss(self, preds, points, gt_boxes, gt_labels, gt_mask):

@@ -24,16 +24,22 @@ class MultiBackbone(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, points, train: bool = False) -> Dict:
+    def __call__(self, points, train: bool = False,
+                 sa_indices=None) -> Dict:
         """(N, 3+C) cloud -> dict with per-stream fp outputs
-        (``fp_*_net{i}``) and the fused ``hd_feature`` (S, C')."""
+        (``fp_*_net{i}``) and the fused ``hd_feature`` (S, C').
+
+        ``sa_indices`` (host-precomputed chain) is shared by every
+        stream — deterministic FPS gives each stream identical indices
+        in the reference too."""
         cfg = self.backbone_cfg or {}
         ret: Dict[str, Any] = {}
         fp_feats = []
         out_channels = 0
         for i in range(self.num_streams):
             r = PointNet2SASSG(dtype=self.dtype, name=f"backbone{i}",
-                               **cfg)(points, train)
+                               **cfg)(points, train,
+                                      sa_indices=sa_indices)
             fp_feats.append(r["fp_features"][-1])
             out_channels += fp_feats[-1].shape[-1]
             for k, v in r.items():

@@ -57,14 +57,17 @@ class PointSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False,
-                 target_xyz=None, sample_indices=None):
+                 target_xyz=None, sample_indices=None,
+                 group_indices=None):
         """(N, 3), (N, C) or None -> ((S, 3), (S, C'), (S,) fps idx).
 
         ``target_xyz`` skips sampling and groups around the given (S, 3)
         centers (the reference PointSAModule's ``target_xyz`` path used
         by H3DNet's surface/line matchers); ``sample_indices`` supplies
         externally chosen centers (the reference's 'seed'/'random'
-        sample modes).
+        sample modes, or a host-precomputed FPS —
+        `ops/pointnet.host_sa_chain`); ``group_indices`` a precomputed
+        ball query.
         """
         if target_xyz is not None:
             new_xyz, fps_idx = target_xyz, None
@@ -72,7 +75,9 @@ class PointSAModule(nn.Module):
             fps_idx = (sample_indices if sample_indices is not None
                        else furthest_point_sample(xyz, self.num_point))
             new_xyz = xyz[fps_idx]
-        group_idx = ball_query(new_xyz, xyz, self.radius, self.num_sample)
+        group_idx = (group_indices if group_indices is not None else
+                     ball_query(new_xyz, xyz, self.radius,
+                                self.num_sample))
         grouped = group_points(xyz, features, None, group_idx,
                                use_xyz=self.use_xyz, new_xyz=new_xyz)
         out = SharedMLP(self.mlp_channels, self.dtype,
@@ -112,8 +117,12 @@ class PointNet2SASSG(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, points, train: bool = False):
+    def __call__(self, points, train: bool = False, sa_indices=None):
         """points: (N, 3 + in_channels - 3) xyz + extra features.
+
+        ``sa_indices``: optional per-level ((M,) fps, (M, K) group)
+        tuples from `ops/pointnet.host_sa_chain` — the sampling chain
+        precomputed in the data pipeline instead of on device.
 
         Returns dict(fp_xyz, fp_features, fp_indices) like the
         reference backbone (finest level last).
@@ -123,10 +132,14 @@ class PointNet2SASSG(nn.Module):
 
         sa_xyz, sa_feats, sa_idx = [xyz], [feats], [None]
         for i in range(len(self.num_points)):
+            si = gi = None
+            if sa_indices is not None:
+                si, gi = sa_indices[i]
             new_xyz, new_f, idx = PointSAModule(
                 self.num_points[i], self.radii[i], self.num_samples[i],
                 self.sa_channels[i], dtype=self.dtype,
-                name=f"sa{i}")(sa_xyz[-1], sa_feats[-1], train)
+                name=f"sa{i}")(sa_xyz[-1], sa_feats[-1], train,
+                               sample_indices=si, group_indices=gi)
             sa_xyz.append(new_xyz)
             sa_feats.append(new_f)
             sa_idx.append(idx)

@@ -71,6 +71,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.aligned_nms_3d.restype = ctypes.c_int64
         lib.points_in_boxes.argtypes = [
             f32p, ctypes.c_int64, f32p, ctypes.c_int64, i32p]
+        lib.fps_sample.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int64, i32p]
+        lib.ball_query_host.argtypes = [
+            f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int64, i32p]
         _LIB = lib
         return _LIB
 
@@ -159,5 +164,36 @@ def points_in_boxes(points: np.ndarray, boxes: np.ndarray
     b = _f32(boxes)
     out = np.empty(p.shape[0], np.int32)
     lib.points_in_boxes(_ptr(p), p.shape[0], _ptr(b), b.shape[0],
+                        _ptr(out, ctypes.c_int32))
+    return out
+
+
+def fps_sample(xyz: np.ndarray, n_samples: int) -> Optional[np.ndarray]:
+    """Host farthest-point sampling: (N, 3) -> (n_samples,) int32.
+    Same algorithm as `ops/pointnet.furthest_point_sample` (start at 0,
+    first-max argmax); None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = _f32(xyz)
+    out = np.empty(int(n_samples), np.int32)
+    lib.fps_sample(_ptr(p), p.shape[0], int(n_samples),
+                   _ptr(out, ctypes.c_int32))
+    return out
+
+
+def ball_query(centers: np.ndarray, xyz: np.ndarray, radius: float,
+               n_neighbors: int) -> Optional[np.ndarray]:
+    """Host ball query: first ``n_neighbors`` points within ``radius``
+    of each center, scan order; fill semantics of
+    `ops/pointnet.ball_query`. None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = _f32(centers)
+    p = _f32(xyz)
+    out = np.empty((c.shape[0], int(n_neighbors)), np.int32)
+    lib.ball_query_host(_ptr(c), c.shape[0], _ptr(p), p.shape[0],
+                        ctypes.c_float(radius), int(n_neighbors),
                         _ptr(out, ctypes.c_int32))
     return out

@@ -24,13 +24,22 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def square_distance(a, b):
-    """(N, 3) x (M, 3) -> (N, M) squared euclidean distances."""
+    """(N, 3) x (M, 3) -> (N, M) squared euclidean distances.
+
+    The cross matmul MUST run at full f32 precision: the TPU default
+    (bf16 operands) loses ~2 decimal digits of |a||b|-scale magnitude,
+    which through the |a|^2 - 2ab + |b|^2 expansion turns into
+    ABSOLUTE d^2 errors of ~1e-1 at room-scale coordinates — enough to
+    flip ball-query membership wholesale, not just at the radius
+    boundary (the reference CUDA kernels compute exact f32
+    differences)."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    cross = a @ b.T
+    cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
 
 
@@ -196,3 +205,48 @@ def sample_points_mixed(xyz, features, num_points, fps_mods,
         out.append(idx + start)
         start = end
     return jnp.concatenate(out).astype(jnp.int32)
+
+
+def host_sa_chain(points, num_points, radii, num_samples):
+    """Precompute the SA-SSG sampling chain on the HOST (native C++).
+
+    The FPS -> ball-query chain depends only on the input xyz, so it
+    can run in the data pipeline where the loader's prefetch overlaps
+    it with device compute — removing the TPU train step's only serial
+    op (PERF.md "VoteNet decomposition": FPS + ball query were ~87% of
+    the step; the backward is free because no gradient flows through
+    indices). Same algorithms as the device twins
+    (:func:`furthest_point_sample`, :func:`ball_query`) and the
+    reference CUDA kernels.
+
+    Returns a flat dict ``{"sa_fps_<l>": (M_l,) int32,
+    "sa_group_<l>": (M_l, K_l) int32}`` (flat so the loader's
+    ``stack_scenes`` batches it), or None when the native library is
+    unavailable (callers fall back to on-device sampling).
+    """
+    from . import native
+
+    if not native.available():
+        return None
+    cur = np.ascontiguousarray(np.asarray(points)[:, :3], np.float32)
+    out = {}
+    for lvl, (m, r, k) in enumerate(zip(num_points, radii, num_samples)):
+        fi = native.fps_sample(cur, int(m))
+        nxt = cur[fi]
+        gi = native.ball_query(nxt, cur, float(r), int(k))
+        out[f"sa_fps_{lvl}"] = fi
+        out[f"sa_group_{lvl}"] = gi
+        cur = nxt
+    return out
+
+
+def collect_sa_indices(scene):
+    """Reassemble :func:`host_sa_chain`'s flat dict entries from a
+    scene/batch dict into the per-level tuple the backbones take;
+    None when absent."""
+    lvls = sorted(int(k[len("sa_fps_"):]) for k in scene
+                  if k.startswith("sa_fps_"))
+    if not lvls:
+        return None
+    return tuple((scene[f"sa_fps_{l}"], scene[f"sa_group_{l}"])
+                 for l in lvls)

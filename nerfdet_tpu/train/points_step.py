@@ -144,11 +144,13 @@ def centerpoint_scene_loss(model, aux: Dict):
 
 def votenet_scene_loss(model):
     """Per-scene loss closure for VoteNet (indoor points)."""
+    from ..ops.pointnet import collect_sa_indices
 
     def f(params, batch_stats, scene, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(variables, scene["points"],
-                                     train=True, mutable=["batch_stats"])
+                                     train=True, mutable=["batch_stats"],
+                                     sa_indices=collect_sa_indices(scene))
         losses = model.loss(preds, scene["points"], scene["gt_boxes"],
                             scene["gt_labels"], scene["gt_mask"])
         terms = {("loss_" + k if not k.startswith("loss") else k): v
@@ -160,11 +162,13 @@ def votenet_scene_loss(model):
 
 def h3dnet_scene_loss(model, train_cfg: Dict = None):
     """Per-scene loss closure for H3DNet (rpn + primitives + refine)."""
+    from ..ops.pointnet import collect_sa_indices
 
     def f(params, batch_stats, scene, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(variables, scene["points"],
-                                     train=True, mutable=["batch_stats"])
+                                     train=True, mutable=["batch_stats"],
+                                     sa_indices=collect_sa_indices(scene))
         losses = model.loss(preds, scene["points"], scene["gt_boxes"],
                             scene["gt_labels"], scene["gt_mask"],
                             train_cfg)

@@ -292,6 +292,17 @@ def _bench_votenet(report):
                  gt_boxes=jnp.asarray(gt)[None],
                  gt_labels=jnp.asarray(labels)[None],
                  gt_mask=jnp.asarray(labels >= 0)[None])
+    # host-precomputed sampling chain, as the train CLI ships it
+    from nerfdet_tpu.nn.pointnet2 import PointNet2SASSG
+    from nerfdet_tpu.ops.pointnet import host_sa_chain
+
+    bb = cfg.model.get("backbone_cfg") or {}
+    sa = host_sa_chain(
+        cloud, tuple(bb.get("num_points", PointNet2SASSG.num_points)),
+        tuple(bb.get("radii", PointNet2SASSG.radii)),
+        tuple(bb.get("num_samples", PointNet2SASSG.num_samples)))
+    if sa is not None:
+        scene.update({k: jnp.asarray(v)[None] for k, v in sa.items()})
     variables = jax.jit(
         lambda k: model.init(k, scene["points"][0], train=True))(
         jax.random.PRNGKey(0))

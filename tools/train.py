@@ -111,6 +111,17 @@ def train_points(args, cfg, work_dir, logger):
         model, anchors = build_voxelnet(cfg.model, compute_dtype=dtype)
 
     dataset = build_dataset(cfg.data["train"])
+    if mtype in INDOOR_POINTS_MODELS and hasattr(dataset, "sa_spec"):
+        # precompute the PointNet++ sampling chain in the data pipeline
+        # (host C++, overlapped by loader prefetch) — removes the train
+        # step's serial FPS/ball-query (PERF.md "VoteNet decomposition")
+        from nerfdet_tpu.nn.pointnet2 import PointNet2SASSG
+
+        bb = cfg.model.get("backbone_cfg") or {}
+        dataset.sa_spec = (
+            tuple(bb.get("num_points", PointNet2SASSG.num_points)),
+            tuple(bb.get("radii", PointNet2SASSG.radii)),
+            tuple(bb.get("num_samples", PointNet2SASSG.num_samples)))
     batch_size = args.batch_size or jax.local_device_count()
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=True,
                          num_workers=cfg.data.get("workers_per_gpu", 1),
