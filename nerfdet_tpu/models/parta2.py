@@ -101,14 +101,18 @@ class PartA2(nn.Module):
     def roi_forward(self, out: Dict, rois, train: bool = False):
         """Pool the semantic/part features inside each RoI and refine
         (reference `part_aggregation_roi_head._bbox_forward`)."""
+        from ..ops.roiaware_pool import pool_selected, roi_member_select
+
         # padding voxels are parked far outside every RoI
         centers = jnp.where(out["voxel_valid"][:, None],
                             out["voxel_centers"], 1e6)
-        pooled_seg = roiaware_pool3d(rois, centers, out["seg_feats"],
-                                     self.roi_out_size, mode="max")
-        pooled_part = roiaware_pool3d(rois, centers,
-                                      out["sem"]["part_feats"],
-                                      self.roi_out_size, mode="avg")
+        osz = ((self.roi_out_size,) * 3
+               if isinstance(self.roi_out_size, int)
+               else tuple(self.roi_out_size))
+        sel = roi_member_select(rois, centers, osz)  # shared geometry
+        pooled_seg = pool_selected(sel, out["seg_feats"], "max", osz)
+        pooled_part = pool_selected(sel, out["sem"]["part_feats"],
+                                    "avg", osz)
         return self.roi_bbox_head(pooled_seg, pooled_part, train=train)
 
 

@@ -117,7 +117,10 @@ def train_points(args, cfg, work_dir, logger):
         # step's serial FPS/ball-query (PERF.md "VoteNet decomposition")
         from nerfdet_tpu.nn.pointnet2 import PointNet2SASSG
 
-        bb = cfg.model.get("backbone_cfg") or {}
+        # VoteNet keys backbone_cfg at the top; H3DNet under backbone
+        bb = (cfg.model.get("backbone_cfg")
+              or cfg.model.get("backbone", {}).get("backbone_cfg")
+              or {})
         dataset.sa_spec = (
             tuple(bb.get("num_points", PointNet2SASSG.num_points)),
             tuple(bb.get("radii", PointNet2SASSG.radii)),
