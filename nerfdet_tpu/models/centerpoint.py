@@ -44,7 +44,8 @@ class CenterPoint(nn.Module):
     def __call__(self, points, train: bool = False):
         voxels, coors, num_points, _ = voxelize_hard(
             points, self.voxel_size, self.point_cloud_range,
-            max_voxels=_cap(self.max_voxels, train),
+            max_voxels=_cap(self.max_voxels, train,
+                            n_points=points.shape[0]),
             max_points=self.max_points)
         if self.voxel_encoder is None:
             feats = hard_simple_vfe(voxels, num_points, self.num_features)

@@ -89,7 +89,8 @@ class MVXFasterRCNN(nn.Module):
         else:
             voxels, coors, num_points, _ = voxelize_hard(
                 points, self.voxel_size, self.point_cloud_range,
-                max_voxels=_cap(self.max_voxels, train),
+                max_voxels=_cap(self.max_voxels, train,
+                                n_points=points.shape[0]),
                 max_points=self.max_points)
             feats = self.pts_voxel_encoder(voxels, num_points, coors,
                                            train=train)

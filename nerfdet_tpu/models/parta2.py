@@ -76,7 +76,8 @@ class PartA2(nn.Module):
         """(N, C) one cloud -> first-stage outputs (RPN + semantics)."""
         voxels, coors, num_points, _ = voxelize_hard(
             points, self.voxel_size, self.point_cloud_range,
-            max_voxels=_cap(self.max_voxels, train),
+            max_voxels=_cap(self.max_voxels, train,
+                            n_points=points.shape[0]),
             max_points=self.max_points)
         feats = hard_simple_vfe(voxels, num_points, self.num_features)
         mid = self.middle_encoder(feats, coors, train=train)

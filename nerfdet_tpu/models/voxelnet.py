@@ -50,7 +50,8 @@ class VoxelNet(nn.Module):
     def voxelize(self, points, train: bool = False):
         return voxelize_hard(points, self.voxel_size,
                              self.point_cloud_range,
-                             max_voxels=_cap(self.max_voxels, train),
+                             max_voxels=_cap(self.max_voxels, train,
+                                             n_points=points.shape[0]),
                              max_points=self.max_points)
 
     def __call__(self, points, train: bool = False):

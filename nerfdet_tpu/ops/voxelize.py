@@ -35,14 +35,25 @@ def _coords_and_valid(points, voxel_size, pc_range):
     return coords, valid, grid
 
 
-def static_capacity(max_voxels, train: bool) -> int:
+def static_capacity(max_voxels, train: bool, n_points: int = None) -> int:
     """Static voxel-table capacity for one trace. The reference's
     ``max_voxels`` may be a ``(train, test)`` pair
     (`mmdet3d/ops/voxel/voxelize.py:Voxelization.forward`); ``train``
-    is a Python bool, so each mode compiles its own table size."""
+    is a Python bool, so each mode compiles its own table size.
+
+    ``n_points`` (the static cloud size, ``points.shape[0]``) is an
+    exact upper bound on occupied voxels — every voxel holds at least
+    one point — so the table (and every downstream sparse-conv gather
+    row count) shrinks to it when the pipeline ships clouds smaller
+    than the config cap (e.g. nuScenes 90k-voxel cap vs a 16k-point
+    padded cloud)."""
     if isinstance(max_voxels, (tuple, list)):
-        return int(max_voxels[0] if train else max_voxels[1])
-    return int(max_voxels)
+        cap = int(max_voxels[0] if train else max_voxels[1])
+    else:
+        cap = int(max_voxels)
+    if n_points is not None:
+        cap = min(cap, int(n_points))
+    return cap
 
 
 @partial(jax.jit, static_argnames=("max_voxels", "max_points"))

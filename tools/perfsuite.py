@@ -313,25 +313,138 @@ def _bench_votenet(report):
     report["votenet_ref_train_ms_per_gpu"] = 22.3
 
 
+def _bench_centerpoint(report):
+    """CenterPoint-0.1voxel nuScenes train step. The reference's
+    `docs/benchmarks.md` has no CenterPoint row, so only our ms/step is
+    recorded (absolute, full nus grid 1024x1024x40)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.centerpoint import build_centerpoint
+    from nerfdet_tpu.train.points_step import (centerpoint_scene_loss,
+                                               make_points_train_step)
+
+    cfg = Config.fromfile(
+        "configs/centerpoint/"
+        "centerpoint_01voxel_second_secfpn_circlenms_4x8_cyclic_20e_nus.py")
+    model, aux = build_centerpoint(cfg.model, compute_dtype=jnp.bfloat16)
+    rng_np = np.random.RandomState(0)
+    n = 30000  # typical nus multi-sweep cloud size after range filter
+    pts = np.stack([rng_np.uniform(-51.2, 51.2, n),
+                    rng_np.uniform(-51.2, 51.2, n),
+                    rng_np.uniform(-5, 3, n),
+                    rng_np.uniform(0, 1, n),
+                    rng_np.uniform(0, 0.45, n)], -1).astype(np.float32)
+    max_gt = 32
+    gt = np.zeros((max_gt, 9), np.float32)
+    gt[:12] = np.stack([rng_np.uniform(-40, 40, 12),
+                        rng_np.uniform(-40, 40, 12),
+                        rng_np.uniform(-2, 0, 12),
+                        rng_np.uniform(1.5, 8, 12),
+                        rng_np.uniform(1.5, 3, 12),
+                        rng_np.uniform(1.4, 3.5, 12),
+                        rng_np.uniform(-3.14, 3.14, 12),
+                        rng_np.uniform(-2, 2, 12),
+                        rng_np.uniform(-2, 2, 12)], -1)
+    labels = -np.ones((max_gt,), np.int32)
+    labels[:12] = rng_np.randint(0, 10, 12)
+    scene = dict(points=jnp.asarray(pts)[None],
+                 gt_bboxes_3d=jnp.asarray(gt)[None],
+                 gt_labels_3d=jnp.asarray(labels)[None])
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0], train=True))(
+        jax.random.PRNGKey(0))
+    state, tx = _make_state(variables)
+    step = make_points_train_step(model, tx,
+                                  centerpoint_scene_loss(model, aux))
+    ms = _time_step(step, state, scene, iters=6, warmup=3)
+    report["centerpoint_train_ms_per_step_bf16"] = round(ms, 1)
+
+
+def _bench_h3dnet(report):
+    """H3DNet ScanNet train step (40k points, host-precomputed SA
+    chain as the train CLI ships it). No reference benchmark row."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.builder import build_model
+    from nerfdet_tpu.nn.pointnet2 import PointNet2SASSG
+    from nerfdet_tpu.ops.pointnet import host_sa_chain
+    from nerfdet_tpu.train.points_step import (h3dnet_scene_loss,
+                                               make_points_train_step)
+
+    cfg = Config.fromfile("configs/h3dnet/h3dnet_8x3_scannet-3d-18class.py")
+    model = build_model(cfg.model, compute_dtype=jnp.bfloat16)
+    rng_np = np.random.RandomState(0)
+    n = 40000
+    pts = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng_np.uniform(0, 2.5, n)
+    height = (pts[:, 2] - np.percentile(pts[:, 2], 0.99))[:, None]
+    cloud = np.concatenate([pts, height], -1).astype(np.float32)
+    max_gt = 32
+    gt = np.zeros((max_gt, 7), np.float32)
+    gt[:8, :3] = rng_np.uniform(-2, 2, (8, 3))
+    gt[:8, 3:6] = rng_np.uniform(0.4, 1.6, (8, 3))
+    labels = -np.ones((max_gt,), np.int32)
+    labels[:8] = rng_np.randint(0, 18, 8)
+    scene = dict(points=jnp.asarray(cloud)[None],
+                 gt_boxes=jnp.asarray(gt)[None],
+                 gt_labels=jnp.asarray(labels)[None],
+                 gt_mask=jnp.asarray(labels >= 0)[None])
+    bb = (cfg.model.get("backbone_cfg")
+          or cfg.model.get("backbone", {}).get("backbone_cfg") or {})
+    sa = host_sa_chain(
+        cloud, tuple(bb.get("num_points", PointNet2SASSG.num_points)),
+        tuple(bb.get("radii", PointNet2SASSG.radii)),
+        tuple(bb.get("num_samples", PointNet2SASSG.num_samples)))
+    if sa is not None:
+        scene.update({k: jnp.asarray(v)[None] for k, v in sa.items()})
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0], train=True))(
+        jax.random.PRNGKey(0))
+    state, tx = _make_state(variables)
+    step = make_points_train_step(
+        model, tx, h3dnet_scene_loss(model, cfg.get("train_cfg")))
+    ms = _time_step(step, state, scene, iters=6, warmup=3)
+    report["h3dnet_train_ms_per_step_bf16"] = round(ms, 1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="perf_report.json")
     p.add_argument("--skip-lidar", action="store_true")
     p.add_argument("--only-lidar", action="store_true")
+    p.add_argument("--only", nargs="+", default=None,
+                   help="run only these benches (flagship, second, "
+                        "pointpillars, parta2, votenet, centerpoint, "
+                        "h3dnet)")
     args = p.parse_args()
 
     import jax
 
+    lidar = dict(second=_bench_second, pointpillars=_bench_pointpillars,
+                 parta2=_bench_parta2, votenet=_bench_votenet,
+                 centerpoint=_bench_centerpoint, h3dnet=_bench_h3dnet)
     report = dict(platform=jax.devices()[0].platform)
-    if not args.only_lidar:
+    if args.only is not None:
+        run_flagship = "flagship" in args.only
+        run_lidar = [lidar[k] for k in args.only if k != "flagship"]
+    else:
+        run_flagship = not args.only_lidar
+        run_lidar = [] if args.skip_lidar else list(lidar.values())
+    if run_flagship:
         _bench_flagship(report)
-    if not args.skip_lidar:
-        for fn in (_bench_second, _bench_pointpillars, _bench_parta2,
-                   _bench_votenet):
-            try:
-                fn(report)
-            except Exception as e:  # keep the suite one-shot
-                report[fn.__name__ + "_error"] = repr(e)[:200]
+    for fn in run_lidar:
+        try:
+            fn(report)
+        except Exception as e:  # keep the suite one-shot
+            report[fn.__name__ + "_error"] = repr(e)[:200]
     print(json.dumps(report))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
