@@ -22,9 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     p = argparse.ArgumentParser(description="Data converter")
     p.add_argument("dataset",
-                   choices=["scannet", "kitti", "synthetic",
-                            "synthetic-kitti", "synthetic-nuscenes",
-                            "gt-database"])
+                   choices=["scannet", "kitti", "nuscenes", "lyft",
+                            "synthetic", "synthetic-kitti",
+                            "synthetic-nuscenes",
+                            "synthetic-nuscenes-raw", "gt-database"])
+    p.add_argument("--version", default=None,
+                   help="nuscenes/lyft: raw database version "
+                        "(default v1.0-mini / v1.01-train)")
+    p.add_argument("--max-sweeps", type=int, default=10)
+    p.add_argument("--train-split", default=None,
+                   help="nuscenes/lyft: txt file of train scene names")
+    p.add_argument("--val-split", default=None,
+                   help="nuscenes/lyft: txt file of val scene names")
     p.add_argument("--info-path", default=None,
                    help="gt-database: kitti_infos_train.pkl path")
     p.add_argument("--classes", default="Pedestrian,Cyclist,Car",
@@ -51,6 +60,29 @@ def main():
             args.root_path, out_dir=args.out_dir,
             splits=("train", "val"))
         print(f"[kitti] wrote {written}")
+    elif args.dataset == "nuscenes":
+        from nerfdet_tpu.data.nuscenes_etl import create_nuscenes_infos
+
+        written = create_nuscenes_infos(
+            args.root_path, version=args.version or "v1.0-mini",
+            max_sweeps=args.max_sweeps, train_scenes=args.train_split,
+            val_scenes=args.val_split, out_dir=args.out_dir)
+        print(f"[nuscenes] wrote {written}")
+    elif args.dataset == "lyft":
+        from nerfdet_tpu.data.nuscenes_etl import create_lyft_infos
+
+        written = create_lyft_infos(
+            args.root_path, version=args.version or "v1.01-train",
+            max_sweeps=args.max_sweeps, train_scenes=args.train_split,
+            val_scenes=args.val_split, out_dir=args.out_dir)
+        print(f"[lyft] wrote {written}")
+    elif args.dataset == "synthetic-nuscenes-raw":
+        from nerfdet_tpu.data.nuscenes_etl import \
+            write_synthetic_nuscenes_raw
+
+        out = write_synthetic_nuscenes_raw(
+            args.root_path, version=args.version or "v1.0-mini")
+        print(f"[synthetic-nuscenes-raw] wrote {out}")
     elif args.dataset == "synthetic-nuscenes":
         from nerfdet_tpu.data.nuscenes_dataset import \
             write_synthetic_nuscenes
