@@ -29,12 +29,29 @@ def parse_args():
                    help="dump rendered view PNGs here (nvs eval)")
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--options", nargs="+", default=[])
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host eval: jax.distributed.initialize() "
+                        "+ rank-sharded dataset with rank-0 collect")
+    p.add_argument("--coordinator", default=None,
+                   help="distributed: coordinator host:port (omit to "
+                        "auto-detect from SLURM/MPI/TPU-pod env)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.distributed:
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
 
     from nerfdet_tpu.api import run_eval, scene_meta_from_config
     from nerfdet_tpu.config import Config

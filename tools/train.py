@@ -42,6 +42,11 @@ def parse_args():
                    help="debug: cap total steps")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--coordinator", default=None,
+                   help="distributed: coordinator host:port (omit to "
+                        "auto-detect from SLURM/MPI/TPU-pod env)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps "
                         "starting at step 10 (written to work_dir/trace)")
@@ -245,7 +250,13 @@ def main():
     if args.distributed:
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:  # SLURM / MPI / TPU-pod auto-detection
+            jax.distributed.initialize()
     import jax
     import jax.numpy as jnp
 
