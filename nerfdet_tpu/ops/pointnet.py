@@ -19,6 +19,7 @@ All functions take a single cloud; ``jax.vmap`` adds the batch axis.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -43,10 +44,26 @@ def square_distance(a, b):
     return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
 def furthest_point_sample(points, n_samples: int):
     """Iterative farthest-point sampling. Returns (n_samples,) int32
-    indices; starts from index 0 like the CUDA kernel."""
+    indices; starts from index 0 like the CUDA kernel.
+
+    On TPU this dispatches to the Pallas kernel
+    (:mod:`ops.pallas_fps`), which keeps the min-distance state in
+    VMEM across the serial loop; elsewhere (and for point blocks too
+    large for VMEM) it runs the XLA ``fori_loop`` twin. Both paths are
+    bit-identical (same metric, same first-index tie-breaking)."""
+    if (os.environ.get("NERFDET_TPU_PALLAS_FPS", "1") == "1"
+            and jax.default_backend() == "tpu"):
+        from .pallas_fps import fits_vmem, fps_pallas
+
+        if fits_vmem(points.shape[0], points.shape[1]):
+            return fps_pallas(points, n_samples)
+    return _furthest_point_sample_xla(points, n_samples)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _furthest_point_sample_xla(points, n_samples: int):
     n = points.shape[0]
 
     def body(i, state):
