@@ -58,7 +58,11 @@ def furthest_point_sample(points, n_samples: int):
         from .pallas_fps import fits_vmem, fps_pallas
 
         if fits_vmem(points.shape[0], points.shape[1]):
-            return fps_pallas(points, n_samples)
+            # indices are a non-differentiable selection (the CUDA
+            # kernel has no backward either); stop_gradient keeps AD
+            # from tracing a JVP into the pallas_call when `points`
+            # carries tangents (e.g. 3DSSD's F-FPS over learned feats)
+            return fps_pallas(jax.lax.stop_gradient(points), n_samples)
     return _furthest_point_sample_xla(points, n_samples)
 
 

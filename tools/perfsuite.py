@@ -415,6 +415,36 @@ def _bench_h3dnet(report):
     report["h3dnet_train_ms_per_step_bf16"] = round(ms, 1)
 
 
+def _bench_3dssd(report):
+    """3DSSD KITTI-car train step (16384 points, reference PointSample
+    size). All sampling runs ON DEVICE — D-FPS at 16384->4096 and the
+    stage-2 F-FPS over learned features cannot move to the host
+    pipeline — so this step exercises the Pallas FPS kernel
+    (`ops/pallas_fps.py`) end-to-end. The reference's 3DSSD README has
+    no speed row, so only our ms/step is recorded."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfdet_tpu.config import Config
+    from nerfdet_tpu.models.builder import build_model
+    from nerfdet_tpu.train.points_step import (make_points_train_step,
+                                               ssd3d_scene_loss)
+
+    cfg = Config.fromfile("configs/3dssd/3dssd_kitti-3d-car.py")
+    model = build_model(cfg.model, compute_dtype=jnp.bfloat16)
+    scene = _kitti_scene(n=16384)
+    variables = jax.jit(
+        lambda k: model.init(k, scene["points"][0], train=True))(
+        jax.random.PRNGKey(0))
+    state, tx = _make_state(variables)
+    step = make_points_train_step(
+        model, tx, ssd3d_scene_loss(model, cfg.get("train_cfg")))
+    # extra warmup: freshly compiled Pallas executables run a slow
+    # relay path for their first ~10 executions (PERF.md)
+    ms = _time_step(step, state, scene, iters=10, warmup=12)
+    report["ssd3d_train_ms_per_step_bf16"] = round(ms, 1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="perf_report.json")
@@ -423,14 +453,15 @@ def main():
     p.add_argument("--only", nargs="+", default=None,
                    help="run only these benches (flagship, second, "
                         "pointpillars, parta2, votenet, centerpoint, "
-                        "h3dnet)")
+                        "h3dnet, ssd3d)")
     args = p.parse_args()
 
     import jax
 
     lidar = dict(second=_bench_second, pointpillars=_bench_pointpillars,
                  parta2=_bench_parta2, votenet=_bench_votenet,
-                 centerpoint=_bench_centerpoint, h3dnet=_bench_h3dnet)
+                 centerpoint=_bench_centerpoint, h3dnet=_bench_h3dnet,
+                 ssd3d=_bench_3dssd)
     report = dict(platform=jax.devices()[0].platform)
     if args.only is not None:
         run_flagship = "flagship" in args.only
