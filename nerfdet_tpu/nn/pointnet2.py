@@ -203,12 +203,15 @@ class PointSAModuleMSG(nn.Module):
             new_xyz = xyz[idx]
         outs = []
         prev_r = 0.0
+        # one squared-distance matrix shared by every radius branch
+        from ..ops.pointnet import square_distance
+        d2 = square_distance(new_xyz, xyz)
         for i, (r, k, mlps) in enumerate(zip(
                 self.radii, self.sample_nums, self.mlp_channels)):
             if self.dilated_group and i > 0:
-                gi = ball_query_ring(new_xyz, xyz, prev_r, r, k)
+                gi = ball_query_ring(new_xyz, xyz, prev_r, r, k, d2=d2)
             else:
-                gi = ball_query(new_xyz, xyz, r, k)
+                gi = ball_query(new_xyz, xyz, r, k, d2=d2)
             prev_r = r
             grouped = group_points(xyz, features, None, gi,
                                    use_xyz=self.use_xyz, new_xyz=new_xyz)

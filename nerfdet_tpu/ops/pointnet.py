@@ -85,31 +85,51 @@ def _furthest_point_sample_xla(points, n_samples: int):
     return idx
 
 
+def _first_k_hits(within, n_neighbors: int):
+    """First ``n_neighbors`` True columns of each row, in scan order.
+
+    K-step masked-min scan: step k finds the smallest column index
+    that is a hit and beyond the previous hit. K passes over the
+    (C, N) mask are an order of magnitude cheaper than the previous
+    full (C, N) argsort (the CUDA kernels' scan-order selection has no
+    sorted structure to exploit; `lax.top_k` lowers to the same sort).
+
+    Slot semantics match the CUDA kernels (`ball_query_cuda.cu`):
+    slots beyond the found neighbors repeat the FIRST hit; rows with
+    no hit at all are left zeroed.
+    """
+    n = within.shape[1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def step(last, _):
+        cand = jnp.where(within & (iota[None, :] > last[:, None]),
+                         iota[None, :], n)
+        cur = jnp.min(cand, axis=1).astype(jnp.int32)
+        return cur, cur
+
+    last0 = jnp.full((within.shape[0],), -1, jnp.int32)
+    _, hits = jax.lax.scan(step, last0, None, length=n_neighbors)
+    take = jnp.swapaxes(hits, 0, 1)  # (C, K), misses hold n
+    found = take < n
+    first = take[:, :1]
+    fallback = jnp.where(first < n, first, 0)
+    return jnp.where(found, take, fallback)
+
+
 @partial(jax.jit, static_argnames=("n_neighbors",))
-def ball_query(centers, points, radius: float, n_neighbors: int):
+def ball_query(centers, points, radius: float, n_neighbors: int,
+               d2=None):
     """First ``n_neighbors`` points within ``radius`` of each center.
 
     Returns (n_centers, n_neighbors) int32 indices. Matches the CUDA
     kernel: slots beyond the found neighbors repeat the FIRST found
-    index; centers with no neighbor get all-zero indices.
+    index; centers with no neighbor get all-zero indices. ``d2``
+    optionally supplies a precomputed (C, N) squared-distance matrix
+    (MSG modules share one across their radius branches).
     """
-    d2 = square_distance(centers, points)  # (C, N)
-    within = d2 < radius * radius
-    n = points.shape[0]
-    # stable sort by (not within, index): within points first, in scan
-    # order — their leading K entries are exactly the CUDA kernel's hits
-    key = jnp.where(within, 0, 1) * n + jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (C, N)
-    if n_neighbors > n:  # degenerate: fewer points than slots
-        order = jnp.pad(order, ((0, 0), (0, n_neighbors - n)))
-    take = order[:, :n_neighbors]
-    n_found = within.sum(axis=1)
-    slots = jnp.arange(n_neighbors, dtype=jnp.int32)
-    valid = slots[None, :] < n_found[:, None]
-    first = take[:, :1]
-    # no neighbors at all -> zeros (CUDA kernel leaves the buffer zeroed)
-    fallback = jnp.where(n_found[:, None] > 0, first, 0)
-    return jnp.where(valid, take, fallback)
+    if d2 is None:
+        d2 = square_distance(centers, points)  # (C, N)
+    return _first_k_hits(d2 < radius * radius, n_neighbors)
 
 
 @jax.jit
@@ -165,24 +185,15 @@ def interpolation_weights(dist, eps: float = 1e-8):
 
 
 def ball_query_ring(centers, points, min_radius: float, radius: float,
-                    n_neighbors: int):
+                    n_neighbors: int, d2=None):
     """Dilated ball query: first K points with min_radius <= dist <
     radius (the reference QueryAndGroup's ``min_radius`` used by
     3DSSD's dilated grouping). Ring semantics follow
     `mmdet3d/ops/group_points`: empty rings duplicate slot 0."""
-    d2 = square_distance(centers, points)
+    if d2 is None:
+        d2 = square_distance(centers, points)
     within = (d2 < radius * radius) & (d2 >= min_radius * min_radius)
-    n = points.shape[0]
-    key = jnp.where(within, 0, 1) * n + jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    if n_neighbors > n:
-        order = jnp.pad(order, ((0, 0), (0, n_neighbors - n)))
-    take = order[:, :n_neighbors]
-    n_found = within.sum(axis=1)
-    slots = jnp.arange(n_neighbors, dtype=jnp.int32)
-    valid = slots[None, :] < n_found[:, None]
-    fallback = jnp.where(n_found[:, None] > 0, take[:, :1], 0)
-    return jnp.where(valid, take, fallback)
+    return _first_k_hits(within, n_neighbors)
 
 
 def sample_points_mixed(xyz, features, num_points, fps_mods,
