@@ -86,3 +86,27 @@ def test_batched_via_vmap():
     pts = jnp.stack([cloud(64, 0), cloud(64, 1)])
     idx = jax.vmap(lambda p: furthest_point_sample(p, 8))(pts)
     assert idx.shape == (2, 8)
+
+
+def test_first_k_hits_property():
+    """_first_k_hits vs a direct numpy reference on adversarial masks."""
+    import numpy as np
+    from nerfdet_tpu.ops.pointnet import _first_k_hits
+
+    rng = np.random.RandomState(11)
+    for trial, (rows, n, k, p) in enumerate(
+            [(7, 300, 8, 0.05), (5, 64, 16, 0.5), (3, 40, 64, 0.02),
+             (4, 10, 4, 0.0), (2, 5, 9, 1.0)]):
+        within = rng.rand(rows, n) < p
+        within[0, :] = False          # empty row -> zeros
+        if rows > 1:
+            within[1, 0] = True       # hit at index 0
+        got = np.asarray(_first_k_hits(jnp.asarray(within), k))
+        for r in range(rows):
+            hits = np.flatnonzero(within[r])[:k]
+            want = np.zeros(k, np.int64)
+            if hits.size:
+                want[:hits.size] = hits
+                want[hits.size:] = hits[0]
+            np.testing.assert_array_equal(got[r], want,
+                                          err_msg=f"trial={trial} row={r}")
