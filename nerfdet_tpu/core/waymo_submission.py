@@ -9,7 +9,7 @@ wire-format encoder instead:
 
 * message/field layout transcribed from the public protos
   (``waymo_open_dataset/label.proto`` — ``Label.Box`` fields
-  center_x=1, center_y=2, center_z=3, width=4, length=5, height=6,
+  center_x=1, center_y=2, center_z=3, length=4, width=5, height=6,
   heading=7 (doubles), ``Label.type``=3 (enum), and
   ``waymo_open_dataset/protos/metrics.proto`` — ``Object.object``=1,
   ``score``=2 (float), ``overlap_with_nlz``=3 (bool),
@@ -142,7 +142,7 @@ def encode_box(center_xyz, lwh, heading: float) -> bytes:
     length, width, height = lwh
     return b"".join([
         field_double(1, x), field_double(2, y), field_double(3, z),
-        field_double(4, width), field_double(5, length),
+        field_double(4, length), field_double(5, width),
         field_double(6, height), field_double(7, heading),
     ])
 

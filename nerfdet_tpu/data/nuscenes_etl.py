@@ -195,6 +195,10 @@ class RawTables:
             "timestamp"] / 1e6
         t_last = self.get("sample", last["sample_token"])["timestamp"] / 1e6
         dt = t_last - t_first
+        if has_prev and has_next:
+            # centered difference spans two keyframe gaps (devkit doubles
+            # the tolerance in NuScenes.box_velocity)
+            max_time_diff *= 2
         if dt > max_time_diff or dt <= 0:
             return np.full(3, np.nan)
         return (pos_last - pos_first) / dt

@@ -26,7 +26,7 @@ def _dynamic_objects_class():
     box = label.nested_type.add()
     box.name = "Box"
     for num, fname in ((1, "center_x"), (2, "center_y"), (3, "center_z"),
-                       (4, "width"), (5, "length"), (6, "height"),
+                       (4, "length"), (5, "width"), (6, "height"),
                        (7, "heading")):
         f = box.field.add()
         f.name, f.number = fname, num
