@@ -536,9 +536,15 @@ class SparseEncoderColumn(nn.Module):
         st["feats"], st["yx"], st["mask"] = sp.voxels_to_columns(
             feats0, coors, self.sparse_shape)
         st["hw"] = tuple(self.sparse_shape[1:])
-        st["idx2"] = sp.build_col_index(st["yx"], st["hw"], vmax)
+        # The missing-neighbor sentinel must equal the CURRENT feats
+        # table's row count (the zero row `_col_gemm` appends), NOT the
+        # downsample capacity vmax: with max_active < the input table
+        # size a vmax sentinel would land on a real row and absent
+        # neighbors would silently read that column's features.
+        sent = st["feats"].shape[0]
+        st["idx2"] = sp.build_col_index(st["yx"], st["hw"], sent)
         st["nbr9"] = sp.col_neighbor_indices(
-            st["yx"], st["idx2"], vmax, st["hw"], (3, 3), (1, 1), (1, 1))
+            st["yx"], st["idx2"], sent, st["hw"], (3, 3), (1, 1), (1, 1))
 
         def bn_relu(x, mask, name):
             v, d, c = x.shape
@@ -555,8 +561,8 @@ class SparseEncoderColumn(nn.Module):
                 nbr = st["nbr9"]
             else:
                 nbr = sp.col_neighbor_indices(
-                    st["yx"], st["idx2"], vmax, st["hw"], (3, 3), (1, 1),
-                    (pd[1][0], pd[2][0]))
+                    st["yx"], st["idx2"], st["feats"].shape[0], st["hw"],
+                    (3, 3), (1, 1), (pd[1][0], pd[2][0]))
             y, m = sp.col_conv(st["feats"], st["mask"], nbr,
                                k.astype(self.dtype), (1, 1, 1),
                                (pd[0][0], pd[1][0], pd[2][0]), subm=True)
@@ -568,27 +574,29 @@ class SparseEncoderColumn(nn.Module):
             pd = _pad3(pad)
             st_yx = tuple(stride[1:])
             pd_yx = (pd[1][0], pd[2][0])
+            sent_in = st["feats"].shape[0]
             if ksize[1] == 1 and ksize[2] == 1 and st_yx == (1, 1):
                 # z-only conv: columns map to themselves
                 nyx, nhw = st["yx"], st["hw"]
                 nbr = jnp.where(
                     jnp.all(st["yx"] >= 0, axis=-1)[:, None],
                     jnp.arange(st["yx"].shape[0],
-                               dtype=jnp.int32)[:, None], vmax)
+                               dtype=jnp.int32)[:, None], sent_in)
             else:
                 nyx, nhw = sp.downsample_columns(
                     st["yx"], st["hw"], tuple(ksize[1:]), st_yx, pd_yx,
                     vmax)
                 nbr = sp.col_neighbor_indices(
-                    nyx, st["idx2"], vmax, st["hw"], tuple(ksize[1:]),
+                    nyx, st["idx2"], sent_in, st["hw"], tuple(ksize[1:]),
                     st_yx, pd_yx)
             y, m = sp.col_conv(st["feats"], st["mask"], nbr,
                                k.astype(self.dtype), tuple(stride),
                                (pd[0][0], pd[1][0], pd[2][0]), subm=False)
             st["yx"], st["hw"], st["mask"] = nyx, nhw, m
-            st["idx2"] = sp.build_col_index(nyx, nhw, vmax)
+            sent_out = nyx.shape[0]  # == the new feats table's rows
+            st["idx2"] = sp.build_col_index(nyx, nhw, sent_out)
             st["nbr9"] = sp.col_neighbor_indices(
-                nyx, st["idx2"], vmax, nhw, (3, 3), (1, 1), (1, 1))
+                nyx, st["idx2"], sent_out, nhw, (3, 3), (1, 1), (1, 1))
             st["feats"] = bn_relu(y, m, name)
 
         subm(self.base_channels, 1, "conv_input")

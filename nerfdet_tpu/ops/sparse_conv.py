@@ -204,6 +204,27 @@ def subm_conv(feats, coords, idx_vol, kernel,
     return out * jnp.all(coords >= 0, axis=-1)[:, None].astype(out.dtype)
 
 
+def _check_capacity(first_mask, vmax: int):
+    """Opt-in guard against silent capacity truncation: a strided conv
+    can dilate isolated voxels to up to K output sites each, so the
+    deduped active output set may exceed ``vmax`` — the excess sites
+    are dropped (lexicographic first-``vmax`` selection, matching the
+    reference voxelizer's own max_voxels cap semantics).  Set
+    ``NERFDET_TPU_DEBUG_OVERFLOW=1`` to log whenever that happens
+    (host callback — debug builds only)."""
+    if os.environ.get("NERFDET_TPU_DEBUG_OVERFLOW", "0") != "1":
+        return
+    n = jnp.sum(first_mask.astype(jnp.int32))
+
+    def _warn(n_sites):
+        if int(n_sites) > vmax:
+            print(f"[nerfdet_tpu] sparse downsample overflow: "
+                  f"{int(n_sites)} active output sites > capacity "
+                  f"{vmax}; excess sites dropped", flush=True)
+
+    jax.debug.callback(_warn, n)
+
+
 def out_shape_of(in_shape, kernel_size, stride, padding):
     ks, st, pd = _as3(kernel_size), _as3(stride), _as3(padding)
     return tuple((in_shape[i] + 2 * pd[i] - ks[i]) // st[i] + 1
@@ -241,6 +262,7 @@ def downsample_active(coords, in_shape: Tuple[int, int, int],
     flat = jnp.sort(lin)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), flat[1:] != flat[:-1]]) & (flat < big)
+    _check_capacity(first, vmax)
     sites = jnp.sort(jnp.where(first, flat, big))[:vmax]
     got = sites < big
     z = sites // (h * w)
@@ -559,6 +581,7 @@ def downsample_columns(col_yx, hw: Tuple[int, int], kernel_yx, stride_yx,
     flat = jnp.sort(lin)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), flat[1:] != flat[:-1]]) & (flat < big)
+    _check_capacity(first, vmax)
     sites = jnp.sort(jnp.where(first, flat, big))[:vmax]
     got = sites < big
     out = jnp.stack([sites // ow, sites % ow], -1).astype(jnp.int32)

@@ -238,3 +238,43 @@ def test_column_encoder_grads_finite():
         assert np.isfinite(np.asarray(leaf)).all()
     assert any(np.abs(np.asarray(x)).max() > 0
                for x in jax.tree_util.tree_leaves(g_p))
+
+
+def test_column_encoder_max_active_below_table_capacity():
+    """Regression (round-3 ADVICE): with ``max_active`` smaller than the
+    input voxel-table capacity, the missing-neighbor sentinel must be
+    the CURRENT table's row count, not ``max_active`` — otherwise
+    border columns read a real column's features where an absent
+    neighbor should contribute zeros.
+
+    Construction makes the old bug observable: >max_active distinct
+    active columns at level 0 (so table row ``max_active`` holds real
+    nonzero features) while every downsampled level fits well under
+    ``max_active`` (so the lexicographic truncation itself never fires
+    and row/column encoders remain exactly comparable).
+    """
+    shape = (13, 32, 32)
+    vcap, max_active = 320, 160
+    ys, xs = np.meshgrid(np.arange(4, 21), np.arange(4, 21),
+                         indexing="ij")
+    coords = np.stack([np.full(ys.size, 2), ys.ravel(), xs.ravel()],
+                      -1).astype(np.int32)  # 289 distinct columns, z=2
+    n = coords.shape[0]
+    assert n > max_active
+    coords = np.concatenate(
+        [coords, -np.ones((vcap - n, 3), np.int32)], 0)
+    rng = np.random.RandomState(11)
+    feats = rng.randn(vcap, 4).astype(np.float32)
+    feats[np.any(coords < 0, -1)] = 0
+    kw = dict(in_channels=4, sparse_shape=shape, base_channels=4,
+              output_channels=8, encoder_channels=((4,), (8, 8), (8, 8)),
+              encoder_paddings=((1,), (1, 1), ((0, 1, 1), 1)),
+              max_active=max_active)
+    row = SparseEncoderSparse(**kw)
+    col = SparseEncoderColumn(**kw)
+    vars_ = row.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                     jnp.asarray(coords))
+    out_r = row.apply(vars_, jnp.asarray(feats), jnp.asarray(coords))
+    out_c = col.apply(vars_, jnp.asarray(feats), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-4)
