@@ -19,6 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from nerfdet_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
 
 def parse_args():
     p = argparse.ArgumentParser()
