@@ -22,10 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     p = argparse.ArgumentParser(description="Data converter")
     p.add_argument("dataset",
-                   choices=["scannet", "kitti", "nuscenes", "lyft",
+                   choices=["scannet", "sunrgbd", "sunrgbd_monocular",
+                            "kitti", "nuscenes", "lyft", "waymo",
                             "synthetic", "synthetic-kitti",
                             "synthetic-nuscenes",
-                            "synthetic-nuscenes-raw", "gt-database"])
+                            "synthetic-nuscenes-raw",
+                            "synthetic-sunrgbd-raw", "gt-database"])
+    p.add_argument("--use-v1", action="store_true",
+                   help="sunrgbd: use the v1 label set")
+    p.add_argument("--num-points", type=int, default=None,
+                   help="sunrgbd: points per frame (default 50000)")
     p.add_argument("--version", default=None,
                    help="nuscenes/lyft: raw database version "
                         "(default v1.0-mini / v1.01-train)")
@@ -53,6 +59,24 @@ def main():
         create_scannet_info_file(
             args.root_path, out_dir=args.out_dir,
             num_workers=args.workers)
+    elif args.dataset in ("sunrgbd", "sunrgbd_monocular"):
+        from nerfdet_tpu.data.sunrgbd_etl import (SAMPLE_NUM,
+                                                  create_sunrgbd_infos)
+
+        written = create_sunrgbd_infos(
+            args.root_path, out_dir=args.out_dir,
+            use_v1=args.use_v1,
+            monocular=args.dataset == "sunrgbd_monocular",
+            num_points=args.num_points or SAMPLE_NUM,
+            num_workers=args.workers)
+        print(f"[sunrgbd] wrote {written}")
+    elif args.dataset == "synthetic-sunrgbd-raw":
+        from nerfdet_tpu.data.sunrgbd_etl import \
+            write_synthetic_sunrgbd_raw
+
+        out = write_synthetic_sunrgbd_raw(
+            args.root_path, n_frames=args.n_scenes)
+        print(f"[synthetic-sunrgbd-raw] wrote {out}")
     elif args.dataset == "kitti":
         from nerfdet_tpu.data.kitti_etl import create_kitti_infos
 
@@ -76,6 +100,36 @@ def main():
             max_sweeps=args.max_sweeps, train_scenes=args.train_split,
             val_scenes=args.val_split, out_dir=args.out_dir)
         print(f"[lyft] wrote {written}")
+    elif args.dataset == "waymo":
+        # raw tfrecords (root/raw/{training,validation,testing}/
+        # *.tfrecord or root/*.tfrecord) -> kitti_format tree + infos
+        # (reference `create_data.py:waymo_data_prep`, SDK-free)
+        from nerfdet_tpu.data.waymo_etl import (convert_waymo_tfrecords,
+                                                create_waymo_infos)
+
+        out = args.out_dir or os.path.join(args.root_path,
+                                           "kitti_format")
+        split_map = (("training", "0", "train", False),
+                     ("validation", "1", "val", False),
+                     ("testing", "2", "test", True))
+        any_split = False
+        for sub, prefix, split, test_mode in split_map:
+            load = os.path.join(args.root_path, sub)
+            if not os.path.isdir(load):
+                continue
+            any_split = True
+            save = os.path.join(
+                out, "testing" if test_mode else "training")
+            n = convert_waymo_tfrecords(load, save, prefix=prefix,
+                                        test_mode=test_mode)
+            pkl = create_waymo_infos(out, split=split, prefix=prefix)
+            print(f"[waymo] {sub}: {n} tfrecords -> {save}; "
+                  f"infos -> {pkl}")
+        if not any_split:
+            n = convert_waymo_tfrecords(
+                args.root_path, os.path.join(out, "training"))
+            pkl = create_waymo_infos(out, split="train")
+            print(f"[waymo] {n} tfrecords -> {out}; infos -> {pkl}")
     elif args.dataset == "synthetic-nuscenes-raw":
         from nerfdet_tpu.data.nuscenes_etl import \
             write_synthetic_nuscenes_raw
