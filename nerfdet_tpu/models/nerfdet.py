@@ -233,11 +233,17 @@ class NerfDet(nn.Module):
 
     def render(self, ray_o, ray_d, features, imgs_denorm, intrinsic,
                extrinsics, volume_stats=None, det: bool = True,
-               rng=None, featmaps=None):
+               rng=None, featmaps=None, view_axis: Optional[str] = None,
+               n_ray_shards: int = 1):
         """Render a chunk of rays (reference `render_ray.py:250-369`).
 
         ``features`` are the stride-4 FPN maps; in image mode they are
         squeezed through ``self.mapping`` (`nerfdet.py:190-197`).
+
+        ``view_axis``/``n_ray_shards``: 2-D mesh support — features/
+        images/extrinsics are the local VIEW shard (statistics are
+        psum-global) and rays are optionally split over the same axis
+        (see `ops/render.render_rays_chunk`).
         """
         h_img, w_img = self.meta.img_shape
         # 4x4 intrinsics scaled to img_shape (`render_ray.py:48-69`)
@@ -270,6 +276,8 @@ class NerfDet(nn.Module):
                 featmaps=featmaps,
                 det=det,
                 key=rng,
+                view_axis=view_axis,
+                n_ray_shards=n_ray_shards,
             )
         # volume mode (`nerfdet.py:185-188`, `render_ray.py:308-323`)
         mean_volume = self.mean_mapping(volume_stats["mean"][None])[0]
@@ -288,6 +296,8 @@ class NerfDet(nn.Module):
             aabb=self.aabb,
             det=det,
             key=rng,
+            view_axis=view_axis,
+            n_ray_shards=n_ray_shards,
         )
 
     # ------------------------------------------------------------------
@@ -295,7 +305,8 @@ class NerfDet(nn.Module):
     # ------------------------------------------------------------------
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
-                 with_rays: bool = True, rng=None):
+                 with_rays: bool = True, rng=None,
+                 view_axis: Optional[str] = None, n_ray_shards: int = 1):
         """Full forward for one scene.
 
         ``batch`` keys (all static shapes):
@@ -303,6 +314,13 @@ class NerfDet(nn.Module):
             intrinsic (4, 4), extrinsics (V, 4, 4), origin (3,),
             optionally depth (V, H, W) and the ray bundle
             ray_o/ray_d (R, 3).
+
+        2-D mesh support: with ``view_axis`` set, the view-leading
+        inputs (imgs/denorm_images/extrinsics/depth) are this device's
+        VIEW shard; fusion statistics and the render-branch view
+        aggregation psum over the axis, so the volume / detection path
+        sees exact global values (replicated). With ``n_ray_shards > 1``
+        the returned render maps are the device-local ray slice.
 
         Returns (head_outs, valid, render_outputs).
         """
@@ -315,6 +333,7 @@ class NerfDet(nn.Module):
             batch["origin"],
             depth=batch.get("depth"),
             use_nerf=with_rays,
+            view_axis=view_axis,
         )
         head_outs = self.detect(vol["det_volume"], train=train)
 
@@ -324,7 +343,8 @@ class NerfDet(nn.Module):
                 batch["ray_o"], batch["ray_d"], features,
                 batch["denorm_images"], batch["intrinsic"],
                 batch["extrinsics"], volume_stats=vol,
-                det=not train, rng=rng,
+                det=not train, rng=rng, view_axis=view_axis,
+                n_ray_shards=n_ray_shards,
             )
         return head_outs, vol["valid"], render_out
 

@@ -159,7 +159,7 @@ def compute_angle(xyz, query_pose, train_poses):
 
 
 def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
-                              featmaps=None):
+                              featmaps=None, axis_name=None):
     """Fused per-view sampling + masked mean / exp(-var) over views.
 
     Numerically identical to ``projector_compute`` +
@@ -167,6 +167,11 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
     never materializing the (R, S, V, C) tensor — the renderer's HBM
     bottleneck (PERF.md). Returns (globalfeat (R, S, 2C),
     pixel_mask (R, S) = count > 1).
+
+    ``axis_name``: when the VIEW axis is sharded over a mesh axis (each
+    device holds a (V_local, ...) slice of images/featmaps/poses), the
+    per-view sums are ``psum``-reduced over that axis so the returned
+    statistics are the global-view values, replicated.
     """
     h, w = img_hw
     pixels, in_front = project_to_views(pts, intrinsics, poses)
@@ -224,6 +229,12 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
                                            unroll=unroll)
 
     v = images.shape[0]
+    if axis_name is not None:
+        s1u = jax.lax.psum(s1u, axis_name)
+        s2u = jax.lax.psum(s2u, axis_name)
+        s1m = jax.lax.psum(s1m, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+        v = v * jax.lax.psum(1, axis_name)
     mean = s1m / (cnt + 1e-8)
     # reference variance: sum over ALL views of (f - mean)^2 / count
     var = (s2u - 2.0 * mean * s1u + v * mean * mean) / (cnt + 1e-8)
@@ -356,11 +367,23 @@ def render_rays_chunk(
     det: bool = True,
     key: Optional[jax.Array] = None,
     white_bkgd: bool = False,
+    view_axis: Optional[str] = None,
+    n_ray_shards: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Render one fixed-size chunk of rays (reference `render_ray.py:250-369`).
 
     ``mlp_fn(pts, viewdirs, features) -> (rgb, sigma)`` is the applied
     radiance field (parameters already bound).
+
+    2-D mesh support: with ``view_axis`` set, images/featmaps/poses are
+    the device-local VIEW shard and the per-point view statistics are
+    ``psum``-reduced (exact global values, replicated). With
+    ``n_ray_shards > 1`` each device additionally keeps only its own
+    R / n slice of rays after the aggregation — the MLP evaluation and
+    compositing then run ray-parallel over the same mesh axis and the
+    returned maps are the LOCAL ray slice (callers psum their masked
+    loss sums). Sampling jitter is drawn for the full ray set before
+    slicing, so results are invariant to the shard count.
     """
     pts, z_vals = sample_along_camera_ray(
         ray_o, ray_d, near_far[0], near_far[1], n_samples, det=det, key=key
@@ -370,21 +393,45 @@ def render_rays_chunk(
         # streaming over views: same math as projector_compute +
         # compute_mask_points without the (R, S, V, C) intermediate
         globalfeat, pixel_mask = streaming_sample_mean_var(
-            pts, images, intrinsics, poses, img_hw, featmaps=featmaps
+            pts, images, intrinsics, poses, img_hw, featmaps=featmaps,
+            axis_name=view_axis,
         )
-        rgb_pts, density_pts = mlp_fn(pts, ray_d, globalfeat)
     elif mode == "volume":
         mean_pts, inbound = volume_sampling(pts, mean_volume, aabb)
         cov_pts, _ = volume_sampling(pts, cov_volume, aabb)
         _, view_mask = projector_compute(
             pts, images, intrinsics, poses, img_hw, featmaps=None
         )
-        pixel_mask = view_mask[..., 0].sum(axis=2) > 1
+        view_cnt = view_mask[..., 0].sum(axis=2)
+        if view_axis is not None:
+            view_cnt = jax.lax.psum(view_cnt, view_axis)
+        pixel_mask = view_cnt > 1
         globalfeat = jnp.concatenate([mean_pts, cov_pts], axis=-1)
-        rgb_pts, density_pts = mlp_fn(pts, ray_d, globalfeat)
-        density_pts = density_pts * inbound[..., None]
     else:
         raise ValueError(f"unknown nerf mode {mode}")
+
+    if n_ray_shards > 1:
+        assert view_axis is not None, "ray sharding needs a mesh axis"
+        r = ray_d.shape[0]
+        assert r % n_ray_shards == 0, (
+            f"ray count {r} not divisible by {n_ray_shards} shards")
+        r_loc = r // n_ray_shards
+        start = jax.lax.axis_index(view_axis) * r_loc
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, start, r_loc, axis=0)
+
+        pts, z_vals, globalfeat, pixel_mask, ray_d = map(
+            sl, (pts, z_vals, globalfeat, pixel_mask, ray_d))
+
+    rgb_pts, density_pts = mlp_fn(pts, ray_d, globalfeat)
+    if mode == "volume":
+        if n_ray_shards > 1:
+            inbound = jax.lax.dynamic_slice_in_dim(
+                inbound, jax.lax.axis_index(view_axis)
+                * (inbound.shape[0] // n_ray_shards),
+                inbound.shape[0] // n_ray_shards, axis=0)
+        density_pts = density_pts * inbound[..., None]
 
     raw = jnp.concatenate([rgb_pts, density_pts], axis=-1)
     outputs = raw2outputs(raw, z_vals, pixel_mask, white_bkgd=white_bkgd)

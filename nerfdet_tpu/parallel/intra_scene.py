@@ -20,10 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-try:  # jax>=0.4.35 moved shard_map
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+from ._shard_map import shard_map_norep
 
 
 def make_view_sharded_volume(model, mesh, axis: str = "views",
@@ -45,11 +42,10 @@ def make_view_sharded_volume(model, mesh, axis: str = "views",
             view_axis=axis)
         return vol["det_volume"], vol["valid"]
 
-    smapped = shard_map(
+    smapped = shard_map_norep(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,  # psum-reduced outputs are replicated
     )
 
     @jax.jit
@@ -81,11 +77,10 @@ def make_ray_sharded_render(model, mesh, axis: str = "views",
                                  method=NerfDet.render_full)
         return rgb, depth
 
-    smapped = shard_map(
+    smapped = shard_map_norep(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
     )
 
     @jax.jit

@@ -49,13 +49,29 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _ray_slice(x, view_axis: str, n_shards: int):
+    """This device's contiguous R/n slice of a per-ray array."""
+    r_loc = x.shape[0] // n_shards
+    start = jax.lax.axis_index(view_axis) * r_loc
+    return jax.lax.dynamic_slice_in_dim(x, start, r_loc, axis=0)
+
+
 def scene_loss_terms(model, params, batch_stats, scene: Dict, rng,
                      depth_supervise: bool, use_nerf_mask: bool,
-                     rgb_supervision: bool = True):
-    """Loss sums for ONE scene. Returns (terms dict, new batch_stats)."""
+                     rgb_supervision: bool = True,
+                     view_axis: Optional[str] = None,
+                     n_ray_shards: int = 1):
+    """Loss sums for ONE scene. Returns (terms dict, new batch_stats).
+
+    With ``view_axis`` set the scene's view-leading inputs are this
+    device's shard (2-D mesh); the NVS/depth losses psum their masked
+    sums over the axis when rays are sharded, so every returned term is
+    the exact global (replicated) value either way.
+    """
     variables = {"params": params, "batch_stats": batch_stats}
     (head_outs, valid, render), mutated = model.apply(
         variables, scene, train=True, with_rays=True, rng=rng,
+        view_axis=view_axis, n_ray_shards=n_ray_shards,
         mutable=["batch_stats"],
     )
     mlvl_points = model.mlvl_points(scene["origin"])
@@ -66,14 +82,59 @@ def scene_loss_terms(model, params, batch_stats, scene: Dict, rng,
         model.n_classes,
     )
     if render is not None and rgb_supervision:
+        gt_rgb = scene["gt_rgb"]
+        gt_depth = scene.get("gt_depth")
+        sharded_rays = view_axis is not None and n_ray_shards > 1
+        if sharded_rays:
+            gt_rgb = _ray_slice(gt_rgb, view_axis, n_ray_shards)
+            if gt_depth is not None:
+                gt_depth = _ray_slice(gt_depth, view_axis, n_ray_shards)
         mask = (render["mask"].astype(jnp.float32) if use_nerf_mask
                 else jnp.ones_like(render["depth"]))
-        terms["loss_nvs"] = loss_lib.masked_mse(
-            render["rgb"], scene["gt_rgb"], mask)
+
+        def psummed(num, den, eps=1e-6):
+            if sharded_rays:
+                num = jax.lax.psum(num, view_axis)
+                den = jax.lax.psum(den, view_axis)
+            return num / (den + eps)
+
+        terms["loss_nvs"] = psummed(
+            jnp.sum(mask[..., None] * (render["rgb"] - gt_rgb) ** 2),
+            jnp.sum(mask))
         if depth_supervise:
-            terms["loss_depth"] = loss_lib.masked_l1(
-                render["depth"], scene["gt_depth"], mask)
+            terms["loss_depth"] = psummed(
+                jnp.sum(mask * jnp.abs(render["depth"] - gt_depth)),
+                jnp.sum(mask))
     return terms, mutated["batch_stats"]
+
+
+def reduce_loss_terms(terms, mean=jnp.mean):
+    """Global loss from per-scene term sums (the DDP-parity reductions
+    in the module docstring). ``mean`` is the cross-scene mean — plain
+    ``jnp.mean`` when the batch axis is global (1-D DP under jit), or a
+    local-mean + ``pmean`` composite inside ``shard_map``."""
+    n_pos = jnp.maximum(mean(terms["n_pos"]), 1.0)
+    loss_centerness = mean(terms["centerness_sum"]) / n_pos
+    loss_cls = mean(terms["cls_sum"]) / n_pos
+    loss_bbox = mean(
+        terms["bbox_sum"] / jnp.maximum(terms["bbox_avg"], 1e-6))
+    loss = loss_centerness + loss_cls + loss_bbox
+    metrics = dict(
+        loss_centerness=loss_centerness,
+        loss_cls=loss_cls,
+        loss_bbox=loss_bbox,
+        n_pos=mean(terms["n_pos"]),
+    )
+    if "loss_nvs" in terms:
+        loss_nvs = mean(terms["loss_nvs"])
+        loss = loss + loss_nvs
+        metrics["loss_nvs"] = loss_nvs
+    if "loss_depth" in terms:
+        loss_depth = mean(terms["loss_depth"])
+        loss = loss + loss_depth
+        metrics["loss_depth"] = loss_depth
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -101,28 +162,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
         # DDP buffer sync equivalent: average the per-scene BN stats
         new_stats = jax.tree_util.tree_map(
             lambda x: x.mean(axis=0), new_stats)
-
-        n_pos = jnp.maximum(jnp.mean(terms["n_pos"]), 1.0)
-        loss_centerness = jnp.mean(terms["centerness_sum"]) / n_pos
-        loss_cls = jnp.mean(terms["cls_sum"]) / n_pos
-        loss_bbox = jnp.mean(
-            terms["bbox_sum"] / jnp.maximum(terms["bbox_avg"], 1e-6))
-        loss = loss_centerness + loss_cls + loss_bbox
-        metrics = dict(
-            loss_centerness=loss_centerness,
-            loss_cls=loss_cls,
-            loss_bbox=loss_bbox,
-            n_pos=jnp.mean(terms["n_pos"]),
-        )
-        if "loss_nvs" in terms:
-            loss_nvs = jnp.mean(terms["loss_nvs"])
-            loss = loss + loss_nvs
-            metrics["loss_nvs"] = loss_nvs
-        if "loss_depth" in terms:
-            loss_depth = jnp.mean(terms["loss_depth"])
-            loss = loss + loss_depth
-            metrics["loss_depth"] = loss_depth
-        metrics["loss"] = loss
+        loss, metrics = reduce_loss_terms(terms)
         return loss, (metrics, new_stats)
 
     def train_step(state: TrainState, batch, rng):

@@ -58,6 +58,12 @@ def parse_args():
                    help="bfloat16 compute (params/optimizer stay f32; "
                         "the mixed-precision analog of the reference's "
                         "opt-in fp16 mode)")
+    p.add_argument("--mesh-views", type=int, default=1,
+                   help="devices per scene on a 2-D (data x views) "
+                        "mesh: each scene's source views (and NVS "
+                        "rays) are sharded over this many devices "
+                        "(NeRF-Det family only; V and N_rand must be "
+                        "divisible by it)")
     p.add_argument("--options", nargs="+", default=[],
                    help="config overrides key=value")
     return p.parse_args()
@@ -298,7 +304,8 @@ def main():
         "input_modality", {}).get("use_depth", False)
     dataset = build_dataset(cfg.data["train"], use_depth=use_depth,
                             n_rand=cfg.model.get("N_rand", 2048))
-    batch_size = args.batch_size or jax.local_device_count()
+    batch_size = args.batch_size or max(
+        1, jax.local_device_count() // args.mesh_views)
     loader = BatchLoader(
         dataset, batch_size=batch_size, shuffle=True,
         num_workers=cfg.data.get("workers_per_gpu", 1) * batch_size,
@@ -351,11 +358,27 @@ def main():
         start_epoch = int(state.step) // steps_per_epoch
         logger.info(f"resumed from {resume} at epoch {start_epoch}")
 
-    mesh = make_mesh()
-    train_step = make_train_step(
-        model, tx,
-        depth_supervise=cfg.model.get("depth_supervise", False),
-        use_nerf_mask=cfg.model.get("use_nerf_mask", True))
+    if args.mesh_views > 1:
+        # 2-D (data x views) mesh: scenes over `data`, each scene's
+        # source views + NVS rays over `views` (parallel/train2d.py)
+        from nerfdet_tpu.parallel import (make_mesh_2d,
+                                          make_train_step_2d,
+                                          shard_batch_2d)
+
+        mesh = make_mesh_2d(args.mesh_views)
+        train_step = make_train_step_2d(
+            model, tx, mesh,
+            depth_supervise=cfg.model.get("depth_supervise", False),
+            use_nerf_mask=cfg.model.get("use_nerf_mask", True))
+        shard_fn = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
+        logger.info(f"2-D mesh: {mesh.shape}")
+    else:
+        mesh = make_mesh()
+        train_step = make_train_step(
+            model, tx,
+            depth_supervise=cfg.model.get("depth_supervise", False),
+            use_nerf_mask=cfg.model.get("use_nerf_mask", True))
+        shard_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     mlog = MetricsLogger(work_dir, logger,
                          interval=cfg.get("log_config", {}).get(
@@ -378,8 +401,7 @@ def main():
                 if args.profile_steps and gstep_pre == 10:
                     jax.profiler.start_trace(
                         os.path.join(work_dir, "trace"))
-                state, metrics = train_step(
-                    state, shard_batch(batch, mesh), sub)
+                state, metrics = train_step(state, shard_fn(batch), sub)
                 if (args.profile_steps
                         and gstep_pre == 10 + args.profile_steps):
                     jax.tree_util.tree_map(
