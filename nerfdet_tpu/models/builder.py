@@ -96,6 +96,8 @@ def _build_votenet(cfg: dict, meta: SceneMeta = None,
             "mean_sizes", SCANNET_MEAN_SIZES)),
         num_proposal=head.get("num_proposal", 256),
         backbone_cfg=cfg.get("backbone_cfg"),
+        iou_loss_weight=(head.get("iou_loss") or {}).get(
+            "loss_weight", 1.0) if head.get("iou_loss") else 0.0,
         dtype=compute_dtype,
     )
 

@@ -49,6 +49,9 @@ class VoteNet(nn.Module):
     mean_sizes: Any = SCANNET_MEAN_SIZES
     num_proposal: int = 256
     backbone_cfg: Optional[Dict] = None
+    # > 0 adds the axis-aligned IoU loss of the votenet_iouloss config
+    # (reference `vote_head.py:59,327-336`, AxisAlignedIoULoss)
+    iou_loss_weight: float = 0.0
     dtype: Any = jnp.float32
 
     @property
@@ -83,7 +86,8 @@ class VoteNet(nn.Module):
     def loss(self, preds, points, gt_boxes, gt_labels, gt_mask):
         return vote_head_loss(
             preds, self.bbox_coder, points[:, :3], gt_boxes, gt_labels,
-            gt_mask, num_classes=self.num_classes)
+            gt_mask, num_classes=self.num_classes,
+            iou_loss_weight=self.iou_loss_weight)
 
 
 def votenet_nms(boxes, obj_scores, sem_scores, points,

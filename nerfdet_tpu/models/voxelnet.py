@@ -130,6 +130,12 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
         max_voxels = max(max_voxels_cfg)  # single cap for dynamic VFE
     else:
         max_voxels = int(max_voxels_cfg)
+    if max_voxels < 0:
+        # the reference's dynamic configs put no cap (`max_voxels=-1`);
+        # TPU shapes are static, so use an explicit capacity
+        # (override with model.max_voxels_static)
+        max_voxels = int(cfg.get("max_voxels_static", 60000))
+        max_voxels_cfg = max_voxels
 
     vs = tuple(vl["voxel_size"])
     pc = tuple(vl["point_cloud_range"])
@@ -156,12 +162,18 @@ def build_voxelnet(cfg: Dict, compute_dtype=jnp.float32):
             with_cluster_center=ve.get("with_cluster_center", False),
             with_voxel_center=ve.get("with_voxel_center", False),
             **common)
-    elif ve_type == "DynamicVFE":
+    elif ve_type in ("DynamicVFE", "DynamicPillarFeatureNet"):
+        # DynamicPillarFeatureNet = PillarFeatureNet math with dynamic
+        # scatter (reference `voxel_encoder.py:287-371`): same per-point
+        # decoration (cluster + pillar center), scatter instead of a
+        # padded (V, P, C) tensor — DynamicVFE already implements that;
+        # only the decoration defaults differ
+        pillar = ve_type == "DynamicPillarFeatureNet"
         grid = np.floor((np.asarray(pc[3:]) - np.asarray(pc[:3]))
                         / np.asarray(vs) + 0.5).astype(int)
         encoder = DynamicVFE(
-            with_cluster_center=ve.get("with_cluster_center", False),
-            with_voxel_center=ve.get("with_voxel_center", False),
+            with_cluster_center=ve.get("with_cluster_center", pillar),
+            with_voxel_center=ve.get("with_voxel_center", pillar),
             max_voxels=max_voxels,
             grid_zyx=(int(grid[2]), int(grid[1]), int(grid[0])),
             **common)

@@ -110,7 +110,8 @@ def vote_head_loss(preds: Dict, coder: PartialBinBasedBBoxCoder,
                    num_classes: int,
                    pos_distance_thr: float = 0.3,
                    neg_distance_thr: float = 0.6,
-                   gt_vote_masks=None, gt_vote_targets=None):
+                   gt_vote_masks=None, gt_vote_targets=None,
+                   iou_loss_weight: float = 0.0):
     """Joint VoteNet losses for one scene.
 
     Args:
@@ -209,6 +210,24 @@ def vote_head_loss(preds: Dict, coder: PartialBinBasedBBoxCoder,
     ) / n_pos
     losses["semantic_loss"] = jnp.sum(
         _ce(preds["sem_scores"], sem) * pos) / n_pos
+
+    if iou_loss_weight > 0:
+        # axis-aligned IoU on (center, size) corner boxes, both sides
+        # sized by the TARGET class (reference `vote_head.py:327-336`
+        # via `decode_corners`: size = (res_norm + 1) * mean, angle
+        # ignored); weight = positive proposals / n_pos, sum-reduced
+        from .losses import axis_aligned_iou_loss
+
+        def corners(center, res_norm):
+            full = jnp.clip((res_norm + 1.0) * means, 0.0, None)
+            return jnp.concatenate(
+                [center - full / 2, center + full / 2], axis=-1)
+
+        pred_c = corners(preds["center"], pred_size_res)
+        tgt_c = corners(center_t, size_res / means)
+        losses["iou_loss"] = axis_aligned_iou_loss(
+            pred_c, tgt_c, weight=pos, avg_factor=n_pos,
+            loss_weight=iou_loss_weight)
     return losses
 
 

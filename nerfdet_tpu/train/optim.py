@@ -74,6 +74,69 @@ def build_lr_schedule(base_lr: float, steps_per_epoch: int,
     return sched
 
 
+def build_lr_schedule_from_config(base_lr: float, lr_config: Optional[dict],
+                                  steps_per_epoch: int, total_epochs: int):
+    """Schedule from a reference ``lr_config`` dict — mmcv LrUpdater
+    policy semantics (vendored `mmdet3d/mmcv/runner/hooks/lr_updater.py`):
+
+    * ``step`` (default): x0.1 at the listed epochs, optional linear
+      warmup (`StepLrUpdaterHook`);
+    * ``cyclic``: one-cycle cosine ramp base -> base*up over
+      ``step_ratio_up`` of the run, then cosine anneal to base*down
+      (`CyclicLrUpdaterHook`; the paired momentum cycling is a no-op
+      here — optax AdamW keeps b1 fixed, a documented deviation);
+    * ``CosineAnnealing``: cosine base -> base*min_lr_ratio over the
+      whole run with optional warmup (`CosineAnnealingLrUpdaterHook`).
+    """
+    lr_config = dict(lr_config or {})
+    policy = str(lr_config.get("policy", "step")).lower()
+    total_steps = max(1, int(steps_per_epoch * total_epochs))
+
+    warmup_steps = 0
+    if lr_config.get("warmup") == "linear":
+        warmup_steps = int(lr_config.get("warmup_iters", 500))
+
+    def with_warmup(sched):
+        # mmcv semantics: warmup only rescales the first warmup_iters;
+        # the wrapped schedule always sees the ABSOLUTE step (decay
+        # epochs don't shift by the warmup length)
+        if warmup_steps <= 0:
+            return sched
+        ratio = float(lr_config.get("warmup_ratio", 1.0 / 3.0))
+
+        def s(step):
+            frac = jnp.minimum(step / warmup_steps, 1.0)
+            warm = base_lr * (ratio + (1.0 - ratio) * frac)
+            return jnp.where(step < warmup_steps, warm, sched(step))
+
+        return s
+
+    if policy == "cyclic":
+        up, down = lr_config.get("target_ratio", (10, 1e-4))
+        frac_up = float(lr_config.get("step_ratio_up", 0.4))
+        up_steps = max(1, int(total_steps * frac_up))
+        ramp = optax.cosine_decay_schedule(
+            float(base_lr * up), up_steps, alpha=1.0 / float(up))
+        # reversed ramp: base -> peak
+        rise = lambda s: ramp(jnp.maximum(up_steps - 1 - s, 0))  # noqa: E731
+        fall = optax.cosine_decay_schedule(
+            float(base_lr * up), max(1, total_steps - up_steps),
+            alpha=float(down) / float(up))
+        return optax.join_schedules([rise, fall], [up_steps])
+
+    if policy == "cosineannealing":
+        min_ratio = float(lr_config.get("min_lr_ratio", 1e-5))
+        sched = optax.cosine_decay_schedule(
+            base_lr, total_steps, alpha=min_ratio)
+        return with_warmup(sched)
+
+    step = lr_config.get(
+        "step", (total_epochs * 2 // 3, total_epochs * 11 // 12))
+    sched = optax.piecewise_constant_schedule(
+        base_lr, {int(e * steps_per_epoch): 0.1 for e in step})
+    return with_warmup(sched)
+
+
 def build_optimizer(params, optimizer_cfg: dict,
                     grad_clip: Optional[dict] = None,
                     lr_schedule=None) -> optax.GradientTransformation:

@@ -97,3 +97,28 @@ def test_votenet_trains_and_detects(tiny_votenet):
     metrics = indoor_eval(gt_annos, [res], [0.25, 0.5],
                           {i: str(i) for i in range(4)})
     assert np.isfinite(metrics["mAP_0.25"])
+
+
+def test_votenet_iou_loss_branch(tiny_votenet):
+    """iou_loss (votenet_iouloss config): finite, positive, and exactly
+    zero-weighted when disabled."""
+    import dataclasses
+
+    from nerfdet_tpu.nn.vote_head import vote_head_loss
+
+    cloud, boxes, labels = synthetic_cloud(1)
+    model = dataclasses.replace(tiny_votenet, iou_loss_weight=10.0 / 3.0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(cloud))
+    preds = model.apply(variables, jnp.asarray(cloud))
+    gt_boxes = jnp.asarray(boxes)
+    gt_labels = jnp.asarray(labels)
+    gt_mask = jnp.ones((2,), bool)
+    losses = model.loss(preds, jnp.asarray(cloud), gt_boxes, gt_labels,
+                        gt_mask)
+    assert "iou_loss" in losses
+    v = float(losses["iou_loss"])
+    assert np.isfinite(v) and v > 0
+    base = vote_head_loss(preds, model.bbox_coder, jnp.asarray(cloud)[:, :3],
+                          gt_boxes, gt_labels, gt_mask,
+                          num_classes=model.num_classes)
+    assert "iou_loss" not in base

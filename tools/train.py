@@ -87,7 +87,8 @@ def train_points(args, cfg, work_dir, logger):
     from nerfdet_tpu.config import Config  # noqa: F401
     from nerfdet_tpu.data.dataset import build_dataset
     from nerfdet_tpu.data.loader import BatchLoader
-    from nerfdet_tpu.train import (TrainState, build_lr_schedule,
+    from nerfdet_tpu.train import (TrainState,
+                                   build_lr_schedule_from_config,
                                    build_optimizer)
     from nerfdet_tpu.train.points_step import (centerpoint_scene_loss,
                                                h3dnet_scene_loss,
@@ -101,7 +102,11 @@ def train_points(args, cfg, work_dir, logger):
     from nerfdet_tpu.utils import (MetricsLogger, load_checkpoint,
                                    save_checkpoint)
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # config-level mixed precision: the reference's opt-in
+    # `fp16 = dict(loss_scale=...)` maps to bf16 compute on TPU
+    # (wider exponent -> no loss scaling needed)
+    use_bf16 = args.bf16 or cfg.get('bf16') or cfg.get('fp16') is not None
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     mtype = cfg.model["type"]
     aux = anchors = None
     if mtype == "CenterPoint":
@@ -167,10 +172,9 @@ def train_points(args, cfg, work_dir, logger):
         batch_stats = ckpt.get("batch_stats", batch_stats)
         logger.info("loaded params from checkpoint")
 
-    sched = build_lr_schedule(
-        cfg.optimizer["lr"], steps_per_epoch,
-        decay_epochs=cfg.get("lr_config", {}).get(
-            "step", (total_epochs * 2 // 3, total_epochs * 11 // 12)))
+    sched = build_lr_schedule_from_config(
+        cfg.optimizer["lr"], cfg.get("lr_config"), steps_per_epoch,
+        total_epochs)
     tx = build_optimizer(
         params, dict(cfg.optimizer),
         grad_clip=cfg.get("optimizer_config", {}).get("grad_clip"),
@@ -275,7 +279,8 @@ def main():
     from nerfdet_tpu.data.dataset import build_dataset
     from nerfdet_tpu.data.loader import BatchLoader
     from nerfdet_tpu.models.builder import build_model
-    from nerfdet_tpu.train import (TrainState, build_lr_schedule,
+    from nerfdet_tpu.train import (TrainState,
+                                   build_lr_schedule_from_config,
                                    build_optimizer, make_train_step)
     from nerfdet_tpu.train.step import make_mesh, replicate, shard_batch
     from nerfdet_tpu.utils import (MetricsLogger, collect_env,
@@ -320,7 +325,9 @@ def main():
     meta = scene_meta_from_config(cfg)
     model = build_model(
         cfg.model, meta=meta,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if (args.bf16 or cfg.get('bf16') or
+                                       cfg.get('fp16') is not None)
+        else jnp.float32)
     sample_scene = dataset[0]
     rng = jax.random.PRNGKey(args.seed)
     init_scene = {k: jnp.asarray(v) for k, v in sample_scene.items()}
@@ -335,9 +342,9 @@ def main():
         batch_stats = ckpt.get("batch_stats", batch_stats)
         logger.info("loaded params from checkpoint")
 
-    sched = build_lr_schedule(
-        cfg.optimizer["lr"], steps_per_epoch,
-        decay_epochs=cfg.get("lr_config", {}).get("step", (8, 11)))
+    sched = build_lr_schedule_from_config(
+        cfg.optimizer["lr"], cfg.get("lr_config", dict(step=(8, 11))),
+        steps_per_epoch, total_epochs)
     tx = build_optimizer(
         params, dict(cfg.optimizer),
         grad_clip=cfg.get("optimizer_config", {}).get("grad_clip"),
