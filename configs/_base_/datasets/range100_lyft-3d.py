@@ -1,0 +1,31 @@
+# Lyft dataset at the extended 100 m range (reference
+# `configs/_base_/datasets/range100_lyft-3d.py`).
+_base_ = './lyft-3d.py'
+
+point_cloud_range = [-100, -100, -5, 100, 100, 3]
+
+train_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=5),
+    dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
+    dict(type='GlobalRotScaleTrans',
+         rot_range=[-0.3925, 0.3925],
+         scale_ratio_range=[0.95, 1.05],
+         translation_std=[0, 0, 0]),
+    dict(type='RandomFlip3D', flip_ratio_bev_horizontal=0.5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='ObjectRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='PointShuffle'),
+    dict(type='Collect3D', keys=['points', 'gt_bboxes_3d', 'gt_labels_3d']),
+]
+test_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
+         use_dim=5),
+    dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
+    dict(type='Collect3D', keys=['points']),
+]
+
+data = dict(
+    train=dict(pipeline=train_pipeline),
+    val=dict(pipeline=test_pipeline),
+    test=dict(pipeline=test_pipeline))

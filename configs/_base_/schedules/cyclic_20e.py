@@ -1,0 +1,17 @@
+# Cyclic 20-epoch nuScenes schedule (reference
+# `configs/_base_/schedules/cyclic_20e.py`): AdamW one-cycle
+# 1e-4 -> 1e-3 -> 1e-4 * 1e-4.
+lr = 1e-4
+optimizer = dict(type='AdamW', lr=lr, weight_decay=0.01)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(
+    policy='cyclic',
+    target_ratio=(10, 1e-4),
+    cyclic_times=1,
+    step_ratio_up=0.4)
+momentum_config = dict(
+    policy='cyclic',
+    target_ratio=(0.85 / 0.95, 1),
+    cyclic_times=1,
+    step_ratio_up=0.4)
+total_epochs = 20

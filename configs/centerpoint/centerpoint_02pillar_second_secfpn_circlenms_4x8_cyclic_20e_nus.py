@@ -1,0 +1,6 @@
+# CenterPoint pillar-0.2 with circle NMS on nuScenes (reference
+# `configs/centerpoint/
+#  centerpoint_02pillar_second_secfpn_circlenms_4x8_cyclic_20e_nus.py`).
+_base_ = './centerpoint_02pillar_second_secfpn_4x8_cyclic_20e_nus.py'
+
+model = dict(test_cfg=dict(pts=dict(nms_type='circle')))

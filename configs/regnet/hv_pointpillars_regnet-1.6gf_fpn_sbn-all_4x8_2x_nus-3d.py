@@ -1,0 +1,14 @@
+# PointPillars + NoStemRegNet-1.6GF + FPN, nuScenes (reference
+# `configs/regnet/hv_pointpillars_regnet-1.6gf_fpn_sbn-all_4x8_2x_nus-3d.py`).
+_base_ = ['../pointpillars/hv_pointpillars_fpn_sbn-all_4x8_2x_nus-3d.py']
+
+model = dict(
+    pts_backbone=dict(
+        _delete_=True,
+        type='NoStemRegNet',
+        arch=dict(w0=80, wa=34.01, wm=2.25, group_w=24, depth=18,
+                  bot_mul=1.0),
+        out_indices=(1, 2, 3),
+        strides=(1, 2, 2, 2),
+        base_channels=64),
+    pts_neck=dict(in_channels=[168, 408, 912]))
