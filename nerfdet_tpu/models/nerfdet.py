@@ -263,7 +263,15 @@ class NerfDet(nn.Module):
 
         if self.nerf_mode == "image":
             if featmaps is None:
-                featmaps = self.mapping(features)
+                # crop the padded map to (img_h//stride, img_w//stride)
+                # BEFORE sampling: the reference maps feature_2d to the
+                # cropped extent (`nerfdet.py:193-197`) and normalizes
+                # pixels by img_shape, so the sampling scale is
+                # (crop-1)/(img-1) — sampling the padded map instead
+                # shifts every tap by up to one feature pixel
+                stride = self.meta.pad_shape[1] // features.shape[2]
+                fh, fw = h_img // stride, w_img // stride
+                featmaps = self.mapping(features[:, :fh, :fw])
             return render_ops.render_rays_chunk(
                 ray_o, ray_d, mlp_fn,
                 mode="image",
@@ -375,7 +383,12 @@ class NerfDet(nn.Module):
                 batch["extrinsics"], batch["origin"],
                 depth=batch.get("depth"), use_nerf=True)
         else:
-            featmaps = self.mapping(features)  # hoisted out of the loop
+            # hoisted out of the loop; cropped to the reference's
+            # feature extent (see the matching note in `render`)
+            stride = self.meta.pad_shape[1] // features.shape[2]
+            fh = self.meta.img_shape[0] // stride
+            fw = self.meta.img_shape[1] // stride
+            featmaps = self.mapping(features[:, :fh, :fw])
 
         def rf(ro, rd):
             out = self.render(
