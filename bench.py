@@ -8,13 +8,25 @@ nerf-density opacity modulation into a 40x40x16 volume, 3D neck, head,
 and on-device top-k candidate selection — the full `simple_test` device
 path (`mmdet3d/models/detectors/nerfdet.py:338-344`).
 
-Baseline note (see BASELINE.md): the reference publishes NO NeRF-Det
-speed numbers, and its GPU stack (mmcv/mmdet/CUDA) cannot run here. The
-north-star target from BASELINE.json is ">=5x reference-GPU
-scenes/sec/chip"; we nominalize the reference single-V100 inference rate
-at 1.0 scene/sec (the order of magnitude of published V100 rates for
-volumetric indoor RGB detectors of this class), so ``vs_baseline`` is
-scenes/sec divided by 1.0 — and the 5x target reads as vs_baseline >= 5.
+Baseline note (see BASELINE.md "Derived NeRF-Det V100 anchor"): the
+reference publishes NO NeRF-Det speed numbers and its GPU stack
+(mmcv/mmdet/CUDA) cannot run here, so the anchor is a documented,
+reproducible ROOFLINE COST MODEL — deliberately generous to the
+reference:
+
+    flops/scene  = 1.440e12   (XLA cost analysis of this exact graph,
+                               f32, V=50; re-derive with
+                               ``jax.jit(infer).lower(...).cost_analysis()``)
+    bytes/scene  = 69.2e9     (same analysis)
+    V100 compute = 15.7 TFLOP/s fp32 x 0.35 effective  = 5.5 TFLOP/s
+    V100 memory  = 900 GB/s x 1.0 (perfect)            = 900 GB/s
+    t_scene      = max(1.440/5.5, 69.2/900) s = 0.262 s -> 3.8 scenes/s
+
+rounded UP to 4.0 scenes/sec (any inefficiency of the reference's
+eager-torch executor — no cross-op fusion, python view loop — only
+makes the real reference slower, i.e. our ``vs_baseline`` larger).
+``vs_baseline = scenes_per_sec / 4.0``; the >=5x north-star target
+reads as vs_baseline >= 5.
 """
 
 import json
@@ -25,7 +37,8 @@ import numpy as np
 N_VIEWS = 50
 WARMUP = 3
 ITERS = 20
-BASELINE_SCENES_PER_SEC = 1.0
+# derived V100 roofline anchor — see module docstring + BASELINE.md
+BASELINE_SCENES_PER_SEC = 4.0
 
 
 def main():
