@@ -80,6 +80,19 @@ def _build_imvoxelnet(cfg: dict, meta: SceneMeta = None,
     return model
 
 
+@register_model("ImVoxelNet")
+def _build_imvoxelnet_outdoor(cfg: dict, meta: SceneMeta = None,
+                              compute_dtype=jnp.float32):
+    """Outdoor (KITTI/nuScenes) camera-volume anchor detector. NOTE:
+    the reference ships these configs and the ImVoxel necks but not the
+    detector class — `models/imvoxelnet.py` completes it. Returns the
+    model; use `models.imvoxelnet.build_imvoxelnet_outdoor` for
+    (model, anchors)."""
+    from .imvoxelnet import build_imvoxelnet_outdoor
+
+    return build_imvoxelnet_outdoor(cfg, compute_dtype=compute_dtype)[0]
+
+
 @register_model("VoteNet")
 def _build_votenet(cfg: dict, meta: SceneMeta = None,
                    compute_dtype=jnp.float32):

@@ -35,6 +35,10 @@ def test_config_builds_model(path):
         model = build_model(cfg.model)
         assert model.num_classes == len(cfg.class_names)
         return
+    if cfg.model["type"] == "ImVoxelNet":
+        model = build_model(cfg.model)
+        assert model.num_classes == len(cfg.class_names)
+        return
     if cfg.model["type"] in ("MVXFasterRCNN", "DynamicMVXFasterRCNN"):
         model = build_model(cfg.model)
         assert model.pts_bbox_head.num_classes == len(cfg.class_names)
