@@ -188,7 +188,8 @@ def run_nvs_eval(model, variables, dataset, chunk: int = 2048,
 def run_eval(model, variables, dataset, test_cfg: Dict,
              logger=None, progress: bool = True,
              rank: int = 0, world: int = 1,
-             partial_dir: Optional[str] = None) -> Dict:
+             partial_dir: Optional[str] = None,
+             eval_step=None) -> Dict:
     """Eval loop (reference `mmdet3d/apis/test.py:5-32` + the
     multi-process sharded collection of `mmdet.apis.multi_gpu_test`).
 
@@ -199,7 +200,9 @@ def run_eval(model, variables, dataset, test_cfg: Dict,
     """
     from .train.step import make_eval_step
 
-    eval_step = make_eval_step(model, nms_pre=test_cfg.get("nms_pre", 1000))
+    if eval_step is None:
+        eval_step = make_eval_step(
+            model, nms_pre=test_cfg.get("nms_pre", 1000))
     n = len(dataset)
     local: List = []
     for i in range(rank, n, world):

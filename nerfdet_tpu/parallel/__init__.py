@@ -10,4 +10,5 @@ sharding *rays* across devices for NeRF rendering.
 from .intra_scene import (  # noqa: F401
     make_ray_sharded_render, make_view_sharded_volume)
 from .train2d import (  # noqa: F401
-    make_mesh_2d, make_train_step_2d, shard_batch_2d)
+    make_eval_step_sharded, make_mesh_2d, make_train_step_2d,
+    shard_batch_2d)

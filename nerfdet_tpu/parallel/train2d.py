@@ -164,3 +164,40 @@ def make_train_step_2d(model, tx: optax.GradientTransformation, mesh,
         )
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step_sharded(model, mesh, view_axis: str = "views",
+                           nms_pre: int = 1000) -> Callable:
+    """Jitted single-scene inference with the source views sharded over
+    ``mesh[view_axis]`` — the eval-time counterpart of the 2-D train
+    step (fusion + density statistics psum to exact global values, the
+    neck/head run replicated). Output matches
+    `train.step.make_eval_step` exactly."""
+    from ..nn.heads import get_candidate_bboxes
+
+    def fwd(params, batch_stats, scene):
+        variables = {"params": params, "batch_stats": batch_stats}
+        head_outs, valid, _ = model.apply(
+            variables, scene, train=False, with_rays=False,
+            view_axis=view_axis)
+        mlvl_points = model.mlvl_points(scene["origin"])
+        boxes, scores = get_candidate_bboxes(
+            head_outs, valid, mlvl_points, nms_pre, model.n_classes)
+        return dict(boxes=boxes, scores=scores)
+
+    smapped_cache = {}
+
+    def smapped_for(scene):
+        key = tuple(sorted(scene))
+        if key not in smapped_cache:
+            specs = {k: (P(view_axis) if k in VIEW_LED_KEYS else P())
+                     for k in scene}
+            smapped_cache[key] = jax.jit(shard_map_norep(
+                fwd, mesh=mesh, in_specs=(P(), P(), specs),
+                out_specs=P()))
+        return smapped_cache[key]
+
+    def eval_step(params, batch_stats, scene):
+        return smapped_for(scene)(params, batch_stats, scene)
+
+    return eval_step

@@ -147,3 +147,26 @@ def test_train_step_2d_matches_1d_dp():
         np.testing.assert_allclose(
             np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_sharded_eval_step_matches(setup):
+    """Views-sharded eval (tools/test.py --mesh-views) == plain eval."""
+    from nerfdet_tpu.parallel import make_eval_step_sharded, make_mesh_2d
+    from nerfdet_tpu.train.step import make_eval_step
+
+    model, scene, variables = setup
+    plain = make_eval_step(model, nms_pre=20)
+    ref = jax.device_get(plain(variables["params"],
+                               variables.get("batch_stats", {}), scene))
+
+    mesh = make_mesh_2d(4, n_data=1)
+    sharded = make_eval_step_sharded(model, mesh, nms_pre=20)
+    with mesh:
+        out = jax.device_get(sharded(
+            variables["params"], variables.get("batch_stats", {}),
+            scene))
+    # psum reduction reorder -> small float drift
+    np.testing.assert_allclose(out["scores"], ref["scores"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["boxes"], ref["boxes"],
+                               rtol=1e-4, atol=1e-4)

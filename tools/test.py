@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--show-dir", default=None,
                    help="dump rendered view PNGs here (nvs eval)")
     p.add_argument("--max-scenes", type=int, default=None)
+    p.add_argument("--mesh-views", type=int, default=1,
+                   help="shard each scene's source views over this "
+                        "many devices at eval (NeRF-Det family only)")
     p.add_argument("--options", nargs="+", default=[])
     p.add_argument("--distributed", action="store_true",
                    help="multi-host eval: jax.distributed.initialize() "
@@ -129,9 +132,19 @@ def main():
                      batch_stats=ckpt.get("batch_stats", {}))
 
     metrics = {}
+    eval_step = None
+    if args.mesh_views > 1:
+        from nerfdet_tpu.parallel import (make_eval_step_sharded,
+                                          make_mesh_2d)
+
+        mesh = make_mesh_2d(args.mesh_views, n_data=1)
+        eval_step = make_eval_step_sharded(
+            model, mesh, nms_pre=dict(cfg.test_cfg).get("nms_pre", 1000))
+        logger.info(f"views-sharded eval over {args.mesh_views} devices")
     if "mAP" in args.eval:
         metrics.update(run_eval(model, variables, dataset,
-                                dict(cfg.test_cfg), logger=logger))
+                                dict(cfg.test_cfg), logger=logger,
+                                eval_step=eval_step))
     if "nvs" in args.eval:
         from nerfdet_tpu.api import run_nvs_eval
 
