@@ -184,7 +184,10 @@ class NerfDet(nn.Module):
             mean, cov, count, g_mean, g_cov = fused_mean_cov(
                 features, pts_flat, projection,
                 depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
-                extra_features=imgs_denorm,
+                # bf16 rgb maps halve the gather bytes on the
+                # byte-bound packed rows (PERF.md item 1); statistics
+                # still accumulate in f32 after the gather
+                extra_features=imgs_denorm.astype(self.compute_dtype),
                 extra_projection=rgb_projection,
                 extra_image_hw=(h_img, w_img),
                 axis_name=view_axis,
@@ -277,7 +280,7 @@ class NerfDet(nn.Module):
                 mode="image",
                 near_far=tuple(self.near_far_range),
                 n_samples=self.n_samples,
-                images=imgs_denorm,
+                images=imgs_denorm.astype(self.compute_dtype),
                 intrinsics=intr_views,
                 poses=extrinsics,
                 img_hw=(h_img, w_img),
