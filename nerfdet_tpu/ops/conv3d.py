@@ -17,6 +17,7 @@ differs.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import jax
@@ -99,6 +100,103 @@ def conv3d_ztap(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
     return out.reshape(b, d_out, ho, wo, kernel.shape[-1])
 
 
+def _norm_padding(padding) -> Tuple[Tuple[int, int], ...]:
+    if isinstance(padding, int):
+        return ((padding, padding),) * 3
+    return tuple((p, p) if isinstance(p, int) else tuple(p)
+                 for p in padding)
+
+
+def conv3d_mm(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
+              padding=((1, 1), (1, 1), (1, 1))):
+    """Shifted-matmul schedule: one (N, C_in) x (C_in, C_out) matmul per
+    kernel offset, accumulated.
+
+    Every offset's contribution to the output is the SAME dense GEMM
+    applied to a strided slice of the padded input — kd*kh*kw matmuls
+    with N = B*D_out*H_out*W_out rows, which the MXU tiles natively
+    regardless of how XLA's Conv3D lowering chooses to im2col. Exact
+    Conv3D semantics (parity-tested); an alternative schedule for the
+    voxel-volume shapes where the conv lowering measures ~10-15% of
+    matmul peak (PERF.md).
+    """
+    b, d, h, w, cin = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    sd, sh, sw = strides
+    (pd0, pd1), (ph0, ph1), (pw0, pw1) = _norm_padding(padding)
+    xp = jnp.pad(x, ((0, 0), (pd0, pd1), (ph0, ph1), (pw0, pw1), (0, 0)))
+    d_out = (d + pd0 + pd1 - kd) // sd + 1
+    h_out = (h + ph0 + ph1 - kh) // sh + 1
+    w_out = (w + pw0 + pw1 - kw) // sw + 1
+    cout = kernel.shape[-1]
+
+    acc = None
+    for dd in range(kd):
+        for dh in range(kh):
+            for dw in range(kw):
+                tap = jax.lax.slice(
+                    xp,
+                    (0, dd, dh, dw, 0),
+                    (b, dd + (d_out - 1) * sd + 1,
+                     dh + (h_out - 1) * sh + 1,
+                     dw + (w_out - 1) * sw + 1, cin),
+                    (1, sd, sh, sw, 1))
+                y = jax.lax.dot_general(
+                    tap.reshape(-1, cin), kernel[dd, dh, dw],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=x.dtype)
+                acc = y if acc is None else acc + y
+    return acc.reshape(b, d_out, h_out, w_out, cout)
+
+
+def conv3d_zfold(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
+                 padding=((1, 1), (1, 1), (1, 1))):
+    """Z-fold schedule: concatenate the kd depth taps into channels and
+    run ONE 2D convolution with a (kh, kw, kd*C_in, C_out) kernel.
+
+    Like the z-tap decomposition, but instead of kd separate 2D convs
+    summed, the taps become input-channel blocks of a single conv —
+    tripling the contraction depth (kd*C_in), which tiles the MXU's
+    systolic array better at the neck's small spatial extents. Exact
+    Conv3D semantics.
+    """
+    b, d, h, w, cin = x.shape
+    kd, kh, kw = kernel.shape[:3]
+    sd, sh, sw = strides
+    (pd0, pd1), ph, pw = _norm_padding(padding)
+    xp = jnp.pad(x, ((0, 0), (pd0, pd1), (0, 0), (0, 0), (0, 0)))
+    d_out = (d + pd0 + pd1 - kd) // sd + 1
+
+    taps = [jax.lax.slice_in_dim(xp, dd, dd + (d_out - 1) * sd + 1,
+                                 stride=sd, axis=1)
+            for dd in range(kd)]
+    # (B, D_out, H, W, kd*C_in), channel blocks ordered by depth tap
+    xf = jnp.concatenate(taps, axis=-1).reshape(b * d_out, h, w, kd * cin)
+    # (kd, kh, kw, Cin, Cout) -> (kh, kw, kd*Cin, Cout) with matching
+    # depth-block order
+    kf = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+        kh, kw, kd * cin, kernel.shape[-1])
+    dn = jax.lax.conv_dimension_numbers(
+        xf.shape, kf.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xf, kf, window_strides=(sh, sw), padding=(tuple(ph), tuple(pw)),
+        dimension_numbers=dn, preferred_element_type=x.dtype)
+    ho, wo = y.shape[1:3]
+    return y.reshape(b, d_out, ho, wo, kernel.shape[-1])
+
+
+# perf experiment dispatch (read at trace time, i.e. per compile):
+#   NERFDET_TPU_CONV3D = ztap (default) | mm | zfold
+_SCHEDULES = {"ztap": conv3d_ztap, "mm": conv3d_mm, "zfold": conv3d_zfold}
+
+
+def conv3d_schedule(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
+                    padding=((1, 1), (1, 1), (1, 1))):
+    """Run the 3D conv with the schedule named by NERFDET_TPU_CONV3D."""
+    name = os.environ.get("NERFDET_TPU_CONV3D", "ztap")
+    return _SCHEDULES[name](x, kernel, strides, _norm_padding(padding))
+
+
 class ConvZTap(nn.Module):
     """Drop-in for ``nn.Conv(features, kernel_size, strides, padding,
     use_bias)`` on NDHWC volumes with the z-tap schedule. Identical
@@ -120,14 +218,10 @@ class ConvZTap(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init,
             tuple(self.kernel_size) + (cin, self.features))
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = ((pad, pad),) * 3
-        else:
-            pad = tuple((p, p) if isinstance(p, int) else tuple(p)
-                        for p in pad)
-        out = conv3d_ztap(x.astype(self.dtype), kernel.astype(self.dtype),
-                          tuple(self.strides), pad)
+        out = conv3d_schedule(x.astype(self.dtype),
+                              kernel.astype(self.dtype),
+                              tuple(self.strides),
+                              _norm_padding(self.padding))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             out = out + bias.astype(out.dtype)
@@ -152,9 +246,21 @@ class Conv3x3x3(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init,
             (3, 3, 3, cin, self.features))
-        out = conv3x3x3_ztap(x.astype(self.dtype),
-                             kernel.astype(self.dtype),
-                             self.strides)
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        squeeze = xc.ndim == 4
+        if squeeze:
+            xc = xc[None]
+        # the volume layout is (B, nx, ny, nz, C); all schedules
+        # decompose/fold the FIRST spatial axis, and nz (the short axis)
+        # is the right one to fold — transpose it in front
+        sx, sy, sz = self.strides
+        xt = jnp.transpose(xc, (0, 3, 1, 2, 4))
+        kt = jnp.transpose(kc, (2, 0, 1, 3, 4))
+        out = conv3d_schedule(xt, kt, (sz, sx, sy))
+        out = jnp.transpose(out, (0, 2, 3, 1, 4))
+        if squeeze:
+            out = out[0]
         if self.use_bias:
             bias = self.param("bias", self.bias_init,
                               (self.features,))

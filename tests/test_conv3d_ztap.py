@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from nerfdet_tpu.ops.conv3d import (Conv3x3x3, ConvZTap, conv3d_ztap,
+from nerfdet_tpu.ops.conv3d import (Conv3x3x3, ConvZTap, conv3d_mm,
+                                    conv3d_zfold, conv3d_ztap,
                                     conv3x3x3_ztap)
 
 
@@ -82,6 +83,83 @@ def test_general_ztap_matches_conv3d(kshape, strides, padding):
     out2 = m.apply({"params": {"kernel": kernel}}, x)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", [conv3d_mm, conv3d_zfold])
+@pytest.mark.parametrize("kshape,strides,padding", [
+    ((3, 3, 3), (1, 1, 1), ((1, 1), (1, 1), (1, 1))),
+    ((3, 3, 3), (2, 2, 2), ((0, 1), (1, 1), (1, 1))),
+    ((3, 1, 1), (2, 1, 1), ((0, 0), (0, 0), (0, 0))),
+    ((1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1))),
+])
+def test_alt_schedules_match_conv3d(schedule, kshape, strides, padding):
+    """The shifted-matmul and z-fold schedules (perf experiments,
+    NERFDET_TPU_CONV3D) are exact Conv3D too."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 9, 10, 8, 6).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(*kshape, 6, 5).astype(np.float32))
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(5, kshape, strides=strides, padding=padding,
+                           use_bias=False, name="c")(x)
+
+    ref = Ref().apply({"params": {"c": {"kernel": kernel}}}, x)
+    out = schedule(x, kernel, strides, padding)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["mm", "zfold"])
+def test_schedule_env_dispatch(name, monkeypatch):
+    """NERFDET_TPU_CONV3D flips the module schedule; outputs and the
+    parameter contract are unchanged."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 6, 6, 4, 3).astype(np.float32))
+    m = Conv3x3x3(features=7, strides=(1, 1, 2))
+    v = m.init(jax.random.PRNGKey(0), x)
+    base = m.apply(v, x)
+    monkeypatch.setenv("NERFDET_TPU_CONV3D", name)
+    out = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+    m2 = ConvZTap(5, kernel_size=(3, 1, 1), strides=(2, 1, 1),
+                  padding=((0, 0), (0, 0), (0, 0)))
+    k2 = jnp.asarray(rng.randn(3, 1, 1, 3, 5).astype(np.float32))
+    monkeypatch.delenv("NERFDET_TPU_CONV3D")
+    base2 = m2.apply({"params": {"kernel": k2}}, x)
+    monkeypatch.setenv("NERFDET_TPU_CONV3D", name)
+    out2 = m2.apply({"params": {"kernel": k2}}, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(base2),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", [conv3d_mm, conv3d_zfold])
+def test_alt_schedule_gradients(schedule):
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 6, 8, 6, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32))
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3, 3), padding=((1, 1),) * 3,
+                           use_bias=False, name="c")(x)
+
+    def f_alt(k):
+        return (schedule(x, k) ** 2).sum()
+
+    def f_ref(k):
+        return (Ref().apply({"params": {"c": {"kernel": k}}}, x)
+                ** 2).sum()
+
+    g1 = jax.grad(f_alt)(kernel)
+    g2 = jax.grad(f_ref)(kernel)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_gradients_match_conv3d():
