@@ -20,7 +20,10 @@ def detections_from_candidates(boxes: np.ndarray, scores: np.ndarray,
     """Device candidates -> final detections (reference `_nms`).
 
     Args:
-        boxes: (M, 6) corner-format candidate boxes.
+        boxes: (M, 6) corner-format candidate boxes, or (M, 7)
+            center-format yawed boxes (the SUNRGBD V1 head) — the
+            latter go through per-class rotated-BEV NMS (reference
+            `imvoxel_head.py:294-323`).
         scores: (M, n_classes) fused scores (cls * centerness * valid).
 
     Returns dict(boxes_3d (n, 7) bottom-centered, scores_3d, labels_3d)
@@ -32,6 +35,21 @@ def detections_from_candidates(boxes: np.ndarray, scores: np.ndarray,
     max_scores = scores.max(axis=1)
     keep = max_scores > score_thr
     boxes, max_scores, labels = boxes[keep], max_scores[keep], labels[keep]
+    if boxes.shape[-1] == 7:
+        from .core.nms import nms_bev_rotated
+
+        pick = []
+        for cls in np.unique(labels):
+            sel = np.flatnonzero(labels == cls)
+            ids = nms_bev_rotated(
+                boxes[sel][:, [0, 1, 3, 4, 6]], max_scores[sel], iou_thr)
+            pick.extend(sel[ids])
+        pick = np.asarray(sorted(
+            pick, key=lambda i: -max_scores[i]), np.int64)
+        out = boxes[pick].copy()
+        out[:, 2] -= out[:, 5] / 2.0  # gravity center -> bottom
+        return dict(boxes_3d=out, scores_3d=max_scores[pick],
+                    labels_3d=labels[pick])
     ids = aligned_3d_nms(boxes, max_scores, labels, iou_thr)
     boxes = boxes[ids]
     # corners -> (cx, cy, zbottom, dx, dy, dz, yaw=0)
@@ -210,7 +228,8 @@ def run_eval(model, variables, dataset, test_cfg: Dict,
         local.append((i, single_scene_test(
             eval_step, variables, scene,
             score_thr=test_cfg.get("score_thr", 0.01),
-            iou_thr=test_cfg.get("iou_thr", 0.25))))
+            iou_thr=test_cfg.get("iou_thr",
+                                 test_cfg.get("nms_thr", 0.25)))))
         if progress and len(local) % 10 == 0:
             print(f"[eval] rank {rank}: {len(local)}/{(n - rank + world - 1) // world}",
                   flush=True)

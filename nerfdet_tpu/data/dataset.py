@@ -144,6 +144,10 @@ class ScanNetMultiViewDataset:
         sample["gt_boxes"] = boxes
         sample["gt_labels"] = labels
         sample["gt_mask"] = mask
+        # optional per-scene extras (e.g. the total-SUNRGBD layout keys)
+        for k in ("gt_angles", "gt_layout"):
+            if k in info:
+                sample[k] = info[k]
 
         if self.use_ray and not self.test_mode and "raydirs" in sample:
             sample = subsample_rays(sample, self.n_rand, rng)
@@ -357,6 +361,33 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
     pcfg = {d["type"]: d for d in data_cfg["pipeline"]}
     mv = pcfg.get("MultiViewPipeline", {})
     transforms = {t["type"]: t for t in mv.get("transforms", [])}
+    if data_cfg.get("type", "").startswith("SunRgbd"):
+        from .sunrgbd_multiview import (SunRgbdMultiViewDataset,
+                                        SunRgbdPerspectiveMultiViewDataset,
+                                        SunRgbdTotalMultiViewDataset)
+
+        cls = {
+            "SunRgbdMultiViewDataset": SunRgbdMultiViewDataset,
+            "SunRgbdPerspectiveMultiViewDataset":
+                SunRgbdPerspectiveMultiViewDataset,
+            "SunRgbdTotalMultiViewDataset": SunRgbdTotalMultiViewDataset,
+        }[data_cfg["type"]]
+        return cls(
+            data_root=data_cfg["data_root"],
+            ann_file=data_cfg["ann_file"],
+            pipeline=MultiViewPipeline(
+                n_images=mv.get("n_images", 1),
+                img_scale=tuple(transforms.get("Resize", {}).get(
+                    "img_scale", (640, 480))),
+                pad_size=tuple(transforms.get("Pad", {}).get(
+                    "size", (480, 640))),
+                loading=mv.get("loading", "random"),
+                nerf_target_views=mv.get("nerf_target_views", 0)),
+            classes=data_cfg.get("classes"),
+            test_mode=test_mode or data_cfg.get("test_mode", False),
+            filter_empty_gt=data_cfg.get("filter_empty_gt", True),
+            repeat_times=repeat,
+        )
     pipeline = MultiViewPipeline(
         n_images=mv.get("n_images", 50),
         img_scale=tuple(transforms.get("Resize", {}).get(

@@ -81,13 +81,22 @@ def _build_imvoxelnet(cfg: dict, meta: SceneMeta = None,
 
 
 @register_model("ImVoxelNet")
-def _build_imvoxelnet_outdoor(cfg: dict, meta: SceneMeta = None,
-                              compute_dtype=jnp.float32):
-    """Outdoor (KITTI/nuScenes) camera-volume anchor detector. NOTE:
-    the reference ships these configs and the ImVoxel necks but not the
-    detector class — `models/imvoxelnet.py` completes it. Returns the
-    model; use `models.imvoxelnet.build_imvoxelnet_outdoor` for
-    (model, anchors)."""
+def _build_imvoxelnet_ref(cfg: dict, meta: SceneMeta = None,
+                          compute_dtype=jnp.float32):
+    """The reference's `type='ImVoxelNet'` configs — dispatched by the
+    3D-neck type: Kitti/NuScenes BEV necks build the outdoor anchor
+    detector, the Atlas/Fast indoor necks the indoor FCOS-style one.
+    NOTE: the reference ships all these configs, necks and heads but
+    not the detector class itself — `models/imvoxelnet.py` (outdoor)
+    and `models/imvoxelnet_indoor.py` complete them. The outdoor path
+    returns the model; use `models.imvoxelnet.build_imvoxelnet_outdoor`
+    for (model, anchors)."""
+    n3_type = cfg.get("neck_3d", {}).get("type", "KittiImVoxelNeck")
+    if n3_type in ("ImVoxelNeck", "FastIndoorImVoxelNeck"):
+        from .imvoxelnet_indoor import build_imvoxelnet_indoor
+
+        return build_imvoxelnet_indoor(cfg, meta=meta,
+                                       compute_dtype=compute_dtype)
     from .imvoxelnet import build_imvoxelnet_outdoor
 
     return build_imvoxelnet_outdoor(cfg, compute_dtype=compute_dtype)[0]

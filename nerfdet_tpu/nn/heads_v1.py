@@ -189,3 +189,117 @@ def get_targets_v1(points, range_ids, regress_ranges, gt_boxes, gt_labels,
 
         box_t = bbox_pred_to_bbox(points, sel)
     return centerness_t, box_t, labels
+
+
+def head_loss_sums_v1(head_outs, valid, mlvl_points, regress_ranges,
+                      gt_boxes, gt_labels, gt_mask, n_classes: int,
+                      centerness_topk: int, yaw: bool):
+    """Per-scene unnormalized V1 loss sums (reference
+    `imvoxel_head.py:136-226`): focal cls over valid voxels, BCE
+    centerness and IoU bbox loss over positives — axis-aligned IoU for
+    the ScanNet head, rotated 3D IoU for the SUNRGBD (yaw) head.
+
+    Same sums/normalizers contract as `heads.head_loss_sums` so the
+    train step's cross-device ``reduce_mean(n_pos)`` semantics apply.
+    """
+    from . import losses
+    from .heads import bbox_pred_to_bbox, resize_valid
+
+    flat_center, flat_bbox, flat_cls, flat_valid = [], [], [], []
+    for (c, b, s) in head_outs:
+        flat_center.append(c.reshape(-1))
+        flat_bbox.append(b.reshape(-1, b.shape[-1]))
+        flat_cls.append(s.reshape(-1, n_classes))
+        flat_valid.append(resize_valid(valid, c.shape[:-1]).reshape(-1))
+    centerness = jnp.concatenate(flat_center)
+    bbox_preds = jnp.concatenate(flat_bbox)
+    cls_scores = jnp.concatenate(flat_cls)
+    valids = jnp.concatenate(flat_valid)
+    points = jnp.concatenate(mlvl_points)
+    range_ids = jnp.concatenate([
+        jnp.full((p.shape[0],), i, jnp.int32)
+        for i, p in enumerate(mlvl_points)
+    ])
+
+    centerness_t, box_t, labels = get_targets_v1(
+        points, range_ids, regress_ranges, gt_boxes, gt_labels, gt_mask,
+        n_classes, centerness_topk, yaw=yaw)
+
+    pos = (labels < n_classes) & valids
+    n_pos_local = pos.sum().astype(jnp.float32)
+
+    # focal expects background = -1 (the V1 assignment uses n_classes)
+    focal_labels = jnp.where(labels < n_classes, labels, -1)
+    cls_sum = losses.sigmoid_focal_loss(
+        cls_scores, jnp.where(valids, focal_labels, -1),
+        weight=valids.astype(jnp.float32))
+
+    pos_w = pos.astype(jnp.float32)
+    centerness_t = jnp.where(pos, centerness_t, 0.0)
+    centerness_sum = losses.binary_cross_entropy(
+        centerness, centerness_t, weight=pos_w)
+
+    bbox_avg = jnp.sum(centerness_t * pos_w)
+    w = centerness_t * pos_w
+    if yaw:
+        from ..ops.rotated_iou import rotated_iou_3d_aligned
+
+        pred = bbox_pred_to_bbox_yaw(points, bbox_preds)
+        # center-format -> bottom-centered z for the IoU kernel
+        to_bottom = lambda b: b.at[:, 2].add(-b[:, 5] / 2)  # noqa: E731
+        iou = rotated_iou_3d_aligned(to_bottom(pred), to_bottom(box_t))
+        # zero out the padded/background rows BEFORE the weighted sum:
+        # degenerate target rows can produce NaN-free but arbitrary IoU
+        bbox_sum = jnp.sum(jnp.where(pos, (1.0 - iou) * w, 0.0))
+    else:
+        bbox_sum = losses.axis_aligned_iou_loss(
+            bbox_pred_to_bbox(points, bbox_preds), box_t, weight=w)
+    return dict(cls_sum=cls_sum, centerness_sum=centerness_sum,
+                bbox_sum=bbox_sum, n_pos=n_pos_local, bbox_avg=bbox_avg)
+
+
+def head_loss_v1(head_outs, valid, mlvl_points, regress_ranges, gt_boxes,
+                 gt_labels, gt_mask, n_classes: int, centerness_topk: int,
+                 yaw: bool, n_pos_override=None):
+    """Per-scene normalized V1 loss (single-device convenience)."""
+    sums = head_loss_sums_v1(
+        head_outs, valid, mlvl_points, regress_ranges, gt_boxes,
+        gt_labels, gt_mask, n_classes, centerness_topk, yaw)
+    n_pos = jnp.maximum(
+        sums["n_pos"] if n_pos_override is None else n_pos_override, 1.0)
+    return dict(
+        loss_centerness=sums["centerness_sum"] / n_pos,
+        loss_bbox=sums["bbox_sum"] / jnp.maximum(sums["bbox_avg"], 1e-6),
+        loss_cls=sums["cls_sum"] / n_pos,
+        n_pos=sums["n_pos"],
+    )
+
+
+def get_candidate_bboxes_v1(head_outs, valid, mlvl_points, nms_pre: int,
+                            n_classes: int, yaw: bool):
+    """Device-side V1 inference candidates (reference
+    `imvoxel_head.py:228-323`): per-level top-k by max class score,
+    scores = sigmoid(cls) * sigmoid(centerness) * valid. Returns
+    (M, 7) center-format yawed boxes (yaw=True) or (M, 6) corner boxes.
+    """
+    from .heads import bbox_pred_to_bbox, resize_valid
+
+    all_boxes, all_scores = [], []
+    for (c, b, s), points in zip(head_outs, mlvl_points):
+        center = jax.nn.sigmoid(c.reshape(-1))
+        bbox_pred = b.reshape(-1, b.shape[-1])
+        scores = jax.nn.sigmoid(s.reshape(-1, n_classes))
+        v = resize_valid(valid, c.shape[:-1]).reshape(-1)
+        scores = scores * center[:, None] * v[:, None].astype(scores.dtype)
+        n = scores.shape[0]
+        if n > nms_pre > 0:
+            max_scores = scores.max(axis=1)
+            _, ids = jax.lax.top_k(max_scores, nms_pre)
+            bbox_pred = jnp.take(bbox_pred, ids, axis=0)
+            scores = jnp.take(scores, ids, axis=0)
+            points = jnp.take(points, ids, axis=0)
+        box = (bbox_pred_to_bbox_yaw(points, bbox_pred) if yaw
+               else bbox_pred_to_bbox(points, bbox_pred))
+        all_boxes.append(box)
+        all_scores.append(scores)
+    return jnp.concatenate(all_boxes), jnp.concatenate(all_scores)

@@ -160,3 +160,28 @@ def rotated_iou_3d(boxes1, boxes2):
     v1 = (boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5])[:, None]
     v2 = (boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5])[None, :]
     return inter / xp.clip(v1 + v2 - inter, 1e-8, None)
+
+
+def rotated_iou_3d_aligned(boxes1, boxes2):
+    """Elementwise 3D IoU of aligned (N, 7) bottom-centered rotated
+    boxes (the loss-side counterpart of :func:`rotated_iou_3d`, used by
+    the SUNRGBD V1 head's rotated-IoU bbox loss — reference
+    ``RotatedIoU3DLoss`` on `imvoxel_head.py:338-343`). Differentiable.
+    """
+    xp = _xp(boxes1)
+    c1 = bev_corners(boxes1)  # (N, 4, 2)
+    c2 = bev_corners(boxes2)
+    in12 = _points_in_quad(c1, c2)
+    in21 = _points_in_quad(c2, c1)
+    ipts, ivalid = _segment_intersections(c1, c2)
+    cand = xp.concatenate([c1, c2, ipts], axis=-2)
+    valid = xp.concatenate([in12, in21, ivalid], axis=-1)
+    inter_bev = _convex_area_from_candidates(cand, valid)  # (N,)
+    top1 = boxes1[:, 2] + boxes1[:, 5]
+    top2 = boxes2[:, 2] + boxes2[:, 5]
+    inter_h = xp.clip(xp.minimum(top1, top2)
+                      - xp.maximum(boxes1[:, 2], boxes2[:, 2]), 0, None)
+    inter = inter_bev * inter_h
+    v1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
+    v2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    return inter / xp.clip(v1 + v2 - inter, 1e-8, None)

@@ -49,6 +49,14 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _uses_v1_head(model) -> bool:
+    """True for the indoor ImVoxelNet's V1 (regress-range FCOS) heads;
+    NeRF-Det and the fast variants use the V2 head."""
+    head_type = getattr(model, "head_type", "V2")
+    return hasattr(model, "regress_ranges") and not head_type.endswith(
+        "V2")
+
+
 def _ray_slice(x, view_axis: str, n_shards: int):
     """This device's contiguous R/n slice of a per-ray array."""
     r_loc = x.shape[0] // n_shards
@@ -69,18 +77,41 @@ def scene_loss_terms(model, params, batch_stats, scene: Dict, rng,
     the exact global (replicated) value either way.
     """
     variables = {"params": params, "batch_stats": batch_stats}
-    (head_outs, valid, render), mutated = model.apply(
+    (head_outs, valid, extra), mutated = model.apply(
         variables, scene, train=True, with_rays=True, rng=rng,
         view_axis=view_axis, n_ray_shards=n_ray_shards,
         mutable=["batch_stats"],
     )
     mlvl_points = model.mlvl_points(scene["origin"])
-    terms = head_loss_sums(
-        head_outs, valid, mlvl_points,
-        scene["gt_boxes"], scene["gt_labels"], scene["gt_mask"],
-        model.n_scales, model.head_limit, model.head_centerness_topk,
-        model.n_classes,
-    )
+    if _uses_v1_head(model):
+        from ..nn.heads_v1 import head_loss_sums_v1
+
+        terms = head_loss_sums_v1(
+            head_outs, valid, mlvl_points, model.regress_ranges,
+            scene["gt_boxes"], scene["gt_labels"], scene["gt_mask"],
+            model.n_classes, model.head_centerness_topk, model.yaw,
+        )
+    else:
+        terms = head_loss_sums(
+            head_outs, valid, mlvl_points,
+            scene["gt_boxes"], scene["gt_labels"], scene["gt_mask"],
+            model.n_scales, model.head_limit, model.head_centerness_topk,
+            model.n_classes,
+        )
+    # the indoor ImVoxelNet's third output is the optional LayoutHead
+    # tuple; NeRF-Det's is the render dict
+    layout = extra if isinstance(extra, tuple) else None
+    render = extra if isinstance(extra, dict) else None
+    if layout is not None and "gt_angles" in scene:
+        from ..nn.layout_head import layout_head_loss
+
+        l2d = layout_head_loss(
+            layout[0], layout[1], scene["gt_angles"],
+            scene["gt_layout"],
+            angle_loss_weight=getattr(model, "layout_angle_weight", 100.0),
+            layout_loss_weight=getattr(model, "layout_loss_weight", 1.0))
+        terms["loss_angle"] = l2d["angle_loss"]
+        terms["loss_layout"] = l2d["layout_loss"]
     if render is not None and rgb_supervision:
         gt_rgb = scene["gt_rgb"]
         gt_depth = scene.get("gt_depth")
@@ -133,6 +164,11 @@ def reduce_loss_terms(terms, mean=jnp.mean):
         loss_depth = mean(terms["loss_depth"])
         loss = loss + loss_depth
         metrics["loss_depth"] = loss_depth
+    for k in ("loss_angle", "loss_layout"):
+        if k in terms:
+            v = mean(terms[k])
+            loss = loss + v
+            metrics[k] = v
     metrics["loss"] = loss
     return loss, metrics
 
@@ -192,15 +228,22 @@ def make_eval_step(model, nms_pre: int = 1000,
 
     def eval_step(params, batch_stats, scene):
         variables = {"params": params, "batch_stats": batch_stats}
-        head_outs, valid, render = model.apply(
+        head_outs, valid, extra = model.apply(
             variables, scene, train=False, with_rays=with_rays)
         mlvl_points = model.mlvl_points(scene["origin"])
-        boxes, scores = get_candidate_bboxes(
-            head_outs, valid, mlvl_points, nms_pre, model.n_classes)
+        if _uses_v1_head(model):
+            from ..nn.heads_v1 import get_candidate_bboxes_v1
+
+            boxes, scores = get_candidate_bboxes_v1(
+                head_outs, valid, mlvl_points, nms_pre,
+                model.n_classes, model.yaw)
+        else:
+            boxes, scores = get_candidate_bboxes(
+                head_outs, valid, mlvl_points, nms_pre, model.n_classes)
         out = dict(boxes=boxes, scores=scores)
-        if render is not None:
-            out["render_rgb"] = render["rgb"]
-            out["render_depth"] = render["depth"]
+        if isinstance(extra, dict):
+            out["render_rgb"] = extra["rgb"]
+            out["render_depth"] = extra["depth"]
         return out
 
     return jax.jit(eval_step)

@@ -37,7 +37,8 @@ def test_config_builds_model(path):
         return
     if cfg.model["type"] == "ImVoxelNet":
         model = build_model(cfg.model)
-        assert model.num_classes == len(cfg.class_names)
+        n = getattr(model, "num_classes", None) or model.n_classes
+        assert n == len(cfg.class_names)
         return
     if cfg.model["type"] in ("MVXFasterRCNN", "DynamicMVXFasterRCNN"):
         model = build_model(cfg.model)

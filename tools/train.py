@@ -303,6 +303,14 @@ def main():
 
     if cfg.model["type"] in POINTS_MODELS:
         return train_points(args, cfg, work_dir, logger)
+    if (cfg.model["type"] == "ImVoxelNet"
+            and cfg.model.get("neck_3d", {}).get("type")
+            not in ("ImVoxelNeck", "FastIndoorImVoxelNeck")):
+        raise NotImplementedError(
+            "CLI training covers the indoor ImVoxelNet configs; build "
+            "the outdoor detector via models.imvoxelnet."
+            "build_imvoxelnet_outdoor + train/points_step.voxelnet loss "
+            "(see tests/test_imvoxelnet_outdoor.py)")
 
     # ---- data ---------------------------------------------------------
     use_depth = cfg.model.get("depth_supervise", False) or cfg.get(
