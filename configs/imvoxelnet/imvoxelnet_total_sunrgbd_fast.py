@@ -1,6 +1,7 @@
-# Fast SUNRGBD variant (reference `imvoxelnet_sunrgbd_fast.py`):
-# FastIndoorImVoxelNeck + the yawed V2 head (SunRgbdImVoxelHeadV2).
-_base_ = ['./imvoxelnet_sunrgbd.py']
+# Total-scene SUNRGBD, fast variant (reference
+# `imvoxelnet_total_sunrgbd_fast.py`): 33 classes + LayoutHead,
+# FastIndoorImVoxelNeck + the yawed V2 head.
+_base_ = ['./imvoxelnet_total_sunrgbd.py']
 
 model = dict(
     neck=dict(out_channels=256),
@@ -13,7 +14,7 @@ model = dict(
     bbox_head=dict(
         _delete_=True,
         type='SunRgbdImVoxelHeadV2',
-        n_classes=10,
+        n_classes=33,
         n_channels=128,
         n_reg_outs=7,
         n_scales=3,

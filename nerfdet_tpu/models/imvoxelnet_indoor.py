@@ -144,9 +144,12 @@ class IndoorImVoxelNet(nn.Module):
         return self.neck(feats)[0], feats[-1]
 
     def build_volume(self, features, intrinsic, extrinsics, origin,
-                     view_axis: Optional[str] = None):
+                     depth=None, view_axis: Optional[str] = None):
         """Back-project + mean-fuse (reference `nerfdet.py:149-231`
-        without the nerf-density modulation). ``view_axis``: mesh axis
+        without the nerf-density modulation). ``depth`` (V, H, W), when
+        given, gates each voxel-view sample to within one z-voxel of the
+        sensed surface (the `use_depth` modality,
+        `imvoxelnet_scannet_fast_depth.py`). ``view_axis``: mesh axis
         for view-sharded fusion (statistics psum to global)."""
         h_img, w_img = self.meta.img_shape
         stride = self.meta.pad_shape[1] // features.shape[2]
@@ -157,6 +160,7 @@ class IndoorImVoxelNet(nn.Module):
         feat_hw = (h_img // stride, w_img // stride)
         mean, _, count = fused_mean_cov(
             features, pts_flat, projection, image_hw=feat_hw,
+            depth=depth, voxel_size_z=self.voxel_size[-1],
             axis_name=view_axis)
         volume = jnp.where(count[:, None] > 0, mean, 0.0)
         nx, ny, nz = self.n_voxels
@@ -178,7 +182,8 @@ class IndoorImVoxelNet(nn.Module):
         features, c5 = self.extract_2d(batch["imgs"])
         volume, valid = self.build_volume(
             features, batch["intrinsic"], batch["extrinsics"],
-            batch["origin"], view_axis=view_axis)
+            batch["origin"], depth=batch.get("depth"),
+            view_axis=view_axis)
         scales = self.neck_3d(volume[None], train=train)
         if self.head_type.endswith("V2"):
             outs = self.bbox_head(scales)
@@ -245,6 +250,9 @@ def build_imvoxelnet_indoor(cfg: Dict, meta: Optional[SceneMeta] = None,
         head_n_reg_outs=hd.get("n_reg_outs", 6),
         head_limit=hd.get("limit", 27),
         head_centerness_topk=hd.get("centerness_topk", 18),
+        regress_ranges=tuple(
+            tuple(r) for r in hd.get("regress_ranges", (
+                (-1.0, 0.75), (0.75, 1.5), (1.5, INF)))),
         with_layout=h2 is not None,
         layout_n_channels=(h2 or {}).get("n_channels", 2048),
         layout_linear_size=(h2 or {}).get("linear_size", 256),

@@ -29,7 +29,12 @@ from ..core.boxes import gravity_center, volume_of_boxes
 
 
 class ScanNetImVoxelHeadV2(nn.Module):
-    """Forward head: conv towers shared across scales, per-scale reg Scale."""
+    """Forward head: conv towers shared across scales, per-scale reg Scale.
+
+    With ``n_reg_outs=7`` this is the reference's ``SunRgbdImVoxelHeadV2``
+    (`imvoxel_head_v2.py:304-313`): the 6 distances are exponentiated,
+    the 7th (yaw angle) channel passes through raw.
+    """
 
     n_classes: int = 18
     n_channels: int = 128
@@ -64,11 +69,16 @@ class ScanNetImVoxelHeadV2(nn.Module):
 
         outs = []
         for i, x in enumerate(xs):
-            outs.append((
-                centerness_conv(x),
-                jnp.exp(scales[i].astype(self.dtype) * reg_conv(x)),
-                cls_conv(x),
-            ))
+            reg = reg_conv(x)
+            s = scales[i].astype(self.dtype)
+            if self.n_reg_outs > 6:
+                # yawed variant: exp(scale * distances), raw angle
+                # (reference `imvoxel_head_v2.py:305-313`)
+                bbox_pred = jnp.concatenate(
+                    [jnp.exp(s * reg[..., :6]), reg[..., 6:]], axis=-1)
+            else:
+                bbox_pred = jnp.exp(s * reg)
+            outs.append((centerness_conv(x), bbox_pred, cls_conv(x)))
         return outs
 
 
@@ -101,18 +111,22 @@ def bbox_pred_to_bbox(points, bbox_pred):
 
 
 def get_targets(points, scale_ids, gt_boxes, gt_labels, gt_mask,
-                n_scales: int, limit: int, centerness_topk: int):
-    """Assign each voxel-point a target box/label (reference `:457-526`).
+                n_scales: int, limit: int, centerness_topk: int,
+                yaw: bool = False):
+    """Assign each voxel-point a target box/label (reference `:457-526`;
+    yawed variant `:321-404` rotates the point offsets into each box
+    frame before computing face distances).
 
     Args:
         points: (P, 3) multi-level voxel centers (concatenated).
         scale_ids: (P,) int level index of each point.
-        gt_boxes: (G, 7) bottom-centered padded boxes.
+        gt_boxes: (G, 7) bottom-centered padded boxes (+ yaw).
         gt_labels: (G,) int labels (padding arbitrary).
         gt_mask: (G,) bool validity of each gt row.
 
     Returns:
-        centerness_targets (P,), bbox_target_corners (P, 6), labels (P,)
+        centerness_targets (P,), bbox targets (corner (P, 6) boxes, or
+        gravity-center (P, 7) rotated boxes when ``yaw``), labels (P,)
         with -1 for background.
     """
     float_max = 1e8
@@ -121,13 +135,24 @@ def get_targets(points, scale_ids, gt_boxes, gt_labels, gt_mask,
     centers = gravity_center(gt_boxes)  # (G, 3)
     dims = gt_boxes[:, 3:6]
 
+    if yaw:
+        from ..core.boxes import rotation_3d_in_axis
+
+        # rotate offsets into each box frame (reference `:339-345`)
+        rel = points[:, None, :] - centers[None, :, :]  # (P, G, 3)
+        rel_r = rotation_3d_in_axis(
+            jnp.swapaxes(rel, 0, 1), -gt_boxes[:, 6], axis=2)
+        local = jnp.swapaxes(rel_r, 0, 1) + centers[None, :, :]
+    else:
+        local = points[:, None, :]
+
     # (P, G) distances from point to each box face
-    dx_min = points[:, None, 0] - centers[None, :, 0] + dims[None, :, 0] / 2
-    dx_max = centers[None, :, 0] + dims[None, :, 0] / 2 - points[:, None, 0]
-    dy_min = points[:, None, 1] - centers[None, :, 1] + dims[None, :, 1] / 2
-    dy_max = centers[None, :, 1] + dims[None, :, 1] / 2 - points[:, None, 1]
-    dz_min = points[:, None, 2] - centers[None, :, 2] + dims[None, :, 2] / 2
-    dz_max = centers[None, :, 2] + dims[None, :, 2] / 2 - points[:, None, 2]
+    dx_min = local[..., 0] - centers[None, :, 0] + dims[None, :, 0] / 2
+    dx_max = centers[None, :, 0] + dims[None, :, 0] / 2 - local[..., 0]
+    dy_min = local[..., 1] - centers[None, :, 1] + dims[None, :, 1] / 2
+    dy_max = centers[None, :, 1] + dims[None, :, 1] / 2 - local[..., 1]
+    dz_min = local[..., 2] - centers[None, :, 2] + dims[None, :, 2] / 2
+    dz_max = centers[None, :, 2] + dims[None, :, 2] / 2 - local[..., 2]
     bbox_targets = jnp.stack(
         [dx_min, dx_max, dy_min, dy_max, dz_min, dz_max], axis=-1
     )  # (P, G, 6)
@@ -170,6 +195,12 @@ def get_targets(points, scale_ids, gt_boxes, gt_labels, gt_mask,
         bbox_targets, min_inds[:, None, None], axis=1
     )[:, 0]
     centerness_targets = compute_centerness(sel_targets)
+    if yaw:
+        # targets are the assigned gt boxes in gravity-center format
+        # (reference `:395,404`)
+        tgt = jnp.concatenate(
+            [centers, dims, gt_boxes[:, 6:7]], axis=-1)
+        return centerness_targets, jnp.take(tgt, min_inds, axis=0), labels
     return centerness_targets, bbox_pred_to_bbox(points, sel_targets), labels
 
 
@@ -181,7 +212,8 @@ def resize_valid(valid, shape):
 
 def head_loss_sums(head_outs, valid, mlvl_points, gt_boxes, gt_labels,
                    gt_mask, n_scales: int, limit: int,
-                   centerness_topk: int, n_classes: int):
+                   centerness_topk: int, n_classes: int,
+                   yaw: bool = False):
     """Per-scene *unnormalized* loss sums (reference `:115-203`).
 
     Returns a dict of raw weighted sums plus their normalizers so the
@@ -219,7 +251,7 @@ def head_loss_sums(head_outs, valid, mlvl_points, gt_boxes, gt_labels,
 
     centerness_t, bbox_t, labels = get_targets(
         points, scale_ids, gt_boxes, gt_labels, gt_mask,
-        n_scales, limit, centerness_topk,
+        n_scales, limit, centerness_topk, yaw=yaw,
     )
 
     pos = (labels >= 0) & valids
@@ -235,10 +267,23 @@ def head_loss_sums(head_outs, valid, mlvl_points, gt_boxes, gt_labels,
         centerness, centerness_t, weight=pos_w
     )
     bbox_avg = jnp.sum(centerness_t * pos_w)
-    bbox_sum = losses.axis_aligned_iou_loss(
-        bbox_pred_to_bbox(points, bbox_preds), bbox_t,
-        weight=centerness_t * pos_w,
-    )
+    if yaw:
+        from ..ops.rotated_iou import rotated_iou_3d_aligned
+        from .heads_v1 import bbox_pred_to_bbox_yaw
+
+        pred = bbox_pred_to_bbox_yaw(points, bbox_preds)
+        # gravity-center -> bottom-centered z for the IoU kernel
+        to_bottom = lambda b: b.at[:, 2].add(-b[:, 5] / 2)  # noqa: E731
+        iou = rotated_iou_3d_aligned(to_bottom(pred), to_bottom(bbox_t))
+        # mask padded/background rows BEFORE the weighted sum —
+        # degenerate target rows can produce arbitrary (finite) IoU
+        bbox_sum = jnp.sum(
+            jnp.where(pos, (1.0 - iou) * centerness_t * pos_w, 0.0))
+    else:
+        bbox_sum = losses.axis_aligned_iou_loss(
+            bbox_pred_to_bbox(points, bbox_preds), bbox_t,
+            weight=centerness_t * pos_w,
+        )
     return dict(
         cls_sum=cls_sum,
         centerness_sum=centerness_sum,
@@ -250,7 +295,8 @@ def head_loss_sums(head_outs, valid, mlvl_points, gt_boxes, gt_labels,
 
 def head_loss(head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
               n_scales: int, limit: int, centerness_topk: int,
-              n_classes: int, n_pos_override: Optional[jnp.ndarray] = None):
+              n_classes: int, n_pos_override: Optional[jnp.ndarray] = None,
+              yaw: bool = False):
     """Per-scene normalized detection loss (single-device convenience).
 
     ``n_pos_override`` stands in for the cross-device
@@ -258,7 +304,7 @@ def head_loss(head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
     """
     sums = head_loss_sums(
         head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
-        n_scales, limit, centerness_topk, n_classes,
+        n_scales, limit, centerness_topk, n_classes, yaw=yaw,
     )
     n_pos = jnp.maximum(
         sums["n_pos"] if n_pos_override is None else n_pos_override, 1.0
@@ -272,12 +318,15 @@ def head_loss(head_outs, valid, mlvl_points, gt_boxes, gt_labels, gt_mask,
 
 
 def get_candidate_bboxes(head_outs, valid, mlvl_points, nms_pre: int,
-                         n_classes: int):
+                         n_classes: int, yaw: bool = False):
     """Device-side inference: per-level top-k candidates (reference `:248-285`).
 
-    Returns concatenated (M, 6) corner boxes and (M, n_classes) scores
+    Returns concatenated (M, 6) corner boxes — or (M, 7) gravity-center
+    rotated boxes when ``yaw`` — and (M, n_classes) scores
     (sigmoid(cls) * sigmoid(centerness) * valid); M is static.
     """
+    if yaw:
+        from .heads_v1 import bbox_pred_to_bbox_yaw
     all_boxes, all_scores = [], []
     for (c, b, s), points in zip(head_outs, mlvl_points):
         center = jax.nn.sigmoid(c.reshape(-1))
@@ -292,7 +341,8 @@ def get_candidate_bboxes(head_outs, valid, mlvl_points, nms_pre: int,
             bbox_pred = jnp.take(bbox_pred, ids, axis=0)
             scores = jnp.take(scores, ids, axis=0)
             points = jnp.take(points, ids, axis=0)
-        all_boxes.append(bbox_pred_to_bbox(points, bbox_pred))
+        all_boxes.append(bbox_pred_to_bbox_yaw(points, bbox_pred) if yaw
+                         else bbox_pred_to_bbox(points, bbox_pred))
         all_scores.append(scores)
     return jnp.concatenate(all_boxes), jnp.concatenate(all_scores)
 

@@ -96,7 +96,7 @@ def scene_loss_terms(model, params, batch_stats, scene: Dict, rng,
             head_outs, valid, mlvl_points,
             scene["gt_boxes"], scene["gt_labels"], scene["gt_mask"],
             model.n_scales, model.head_limit, model.head_centerness_topk,
-            model.n_classes,
+            model.n_classes, yaw=getattr(model, "yaw", False),
         )
     # the indoor ImVoxelNet's third output is the optional LayoutHead
     # tuple; NeRF-Det's is the render dict
@@ -239,7 +239,8 @@ def make_eval_step(model, nms_pre: int = 1000,
                 model.n_classes, model.yaw)
         else:
             boxes, scores = get_candidate_bboxes(
-                head_outs, valid, mlvl_points, nms_pre, model.n_classes)
+                head_outs, valid, mlvl_points, nms_pre, model.n_classes,
+                yaw=getattr(model, "yaw", False))
         out = dict(boxes=boxes, scores=scores)
         if isinstance(extra, dict):
             out["render_rgb"] = extra["rgb"]

@@ -260,6 +260,123 @@ def test_indoor_detector_forward_loss_grads(head_type, yaw):
     assert np.all(np.isfinite(np.asarray(boxes)))
 
 
+@pytest.mark.parametrize("head_type,yaw", [
+    ("ScanNetImVoxelHeadV2", False), ("SunRgbdImVoxelHeadV2", True)])
+def test_indoor_detector_v2_forward_loss_grads(head_type, yaw):
+    """V2 heads through the shared heads.py loss/candidate path
+    (reference `imvoxel_head_v2.py:304-441` for the yawed variant)."""
+    from nerfdet_tpu.nn.heads import get_candidate_bboxes, head_loss
+
+    model = _tiny_model(head_type)
+    rng = np.random.RandomState(3)
+    batch = _tiny_batch(rng)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch))()
+    outs, valid, layout = jax.jit(
+        lambda v: model.apply(v, batch))(variables)
+    assert layout is None
+    assert outs[0][1].shape[-1] == (7 if yaw else 6)
+
+    gt = np.zeros((4, 7), np.float32)
+    gt[:, :3] = rng.uniform(-1, 1, (4, 3))
+    gt[:, 3:6] = rng.uniform(0.5, 1.5, (4, 3))
+    gt[:, 6] = rng.uniform(-1, 1, 4) if yaw else 0.0
+    labels = jnp.asarray(rng.randint(0, 5, 4))
+    mask = jnp.asarray([True, True, True, False])
+    pts = model.mlvl_points(batch["origin"])
+
+    def loss_fn(params):
+        o, v, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables["batch_stats"]}, batch)
+        terms = head_loss(
+            o, v, pts, jnp.asarray(gt), labels, mask,
+            n_scales=model.n_scales, limit=5, centerness_topk=9,
+            n_classes=5, yaw=yaw)
+        return (terms["loss_centerness"] + terms["loss_bbox"]
+                + terms["loss_cls"])
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+    boxes, scores = get_candidate_bboxes(
+        outs, valid, pts, nms_pre=50, n_classes=5, yaw=yaw)
+    assert boxes.shape[-1] == (7 if yaw else 6)
+    assert boxes.shape[0] == scores.shape[0]
+    assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_v2_yaw_targets_reduce_to_axis_aligned_at_zero_yaw():
+    """get_targets(yaw=True) on yaw=0 boxes assigns exactly like the
+    axis-aligned path (same labels/centerness; targets correspond)."""
+    from nerfdet_tpu.core.boxes import gravity_center
+    from nerfdet_tpu.nn.heads import corner_to_center_format, get_targets
+
+    rng = np.random.RandomState(4)
+    p0 = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+    p1 = rng.uniform(-2, 2, (16, 3)).astype(np.float32)
+    points = jnp.asarray(np.concatenate([p0, p1]))
+    scale_ids = jnp.asarray([0] * 64 + [1] * 16, dtype=jnp.int32)
+    gt = np.zeros((3, 7), np.float32)
+    gt[:, :3] = rng.uniform(-1, 1, (3, 3))
+    gt[:, 3:6] = rng.uniform(0.8, 2.0, (3, 3))
+    gt_j = jnp.asarray(gt)
+    labels = jnp.asarray([0, 1, 2])
+    mask = jnp.asarray([True, True, True])
+
+    c_a, box_a, lab_a = get_targets(
+        points, scale_ids, gt_j, labels, mask, 2, 3, 4, yaw=False)
+    c_y, box_y, lab_y = get_targets(
+        points, scale_ids, gt_j, labels, mask, 2, 3, 4, yaw=True)
+    np.testing.assert_array_equal(np.asarray(lab_a), np.asarray(lab_y))
+    np.testing.assert_allclose(
+        np.asarray(c_a), np.asarray(c_y), atol=1e-5)
+    # yaw targets are the assigned gt (gravity-center); the axis-aligned
+    # corner targets must describe the same box wherever assigned
+    pos = np.asarray(lab_a) >= 0
+    ctr_a = np.asarray(corner_to_center_format(box_a))[pos]
+    by = np.asarray(box_y)[pos]
+    np.testing.assert_allclose(ctr_a[:, :3], by[:, :3], atol=1e-4)
+    np.testing.assert_allclose(ctr_a[:, 3:6], by[:, 3:6], atol=1e-4)
+    # gravity-center z of the assigned gt
+    gc = np.asarray(gravity_center(gt_j))
+    assert np.all(np.isin(np.round(by[:, 2], 4), np.round(gc[:, 2], 4)))
+
+
+def test_v2_yaw_targets_follow_box_rotation():
+    """A point inside a rotated box's footprint (but outside its
+    axis-aligned equivalent) is assigned only in yaw mode."""
+    from nerfdet_tpu.nn.heads import get_targets
+
+    # long thin box rotated 45deg; probe point along the rotated long
+    # axis — the convention maps a yaw-t box's dx axis to
+    # (cos t, -sin t) (see core.boxes.rotation_3d_in_axis)
+    t = np.pi / 4
+    gt = jnp.asarray([[0.0, 0.0, 0.0, 4.0, 0.6, 1.0, t]])
+    labels = jnp.asarray([2])
+    mask = jnp.asarray([True])
+    d = 1.2
+    probe = np.array(
+        [[d * np.cos(t), -d * np.sin(t), 0.5],   # on the long axis: in
+         [d * np.cos(t), d * np.sin(t), 0.5]],   # mirrored: out
+        np.float32)
+    points = jnp.asarray(probe)
+    scale_ids = jnp.zeros((2,), jnp.int32)
+
+    _, _, lab_yaw = get_targets(
+        points, scale_ids, gt, labels, mask, 1, 1, 1, yaw=True)
+    assert int(lab_yaw[0]) == 2 and int(lab_yaw[1]) == -1
+
+    _, _, lab_aa = get_targets(
+        points, scale_ids, gt, labels, mask, 1, 1, 1, yaw=False)
+    # without rotation the probe is outside the (4.0, 0.6) AA box
+    assert int(lab_aa[0]) == -1
+
+
 def test_total_layout_head_outputs():
     model = _tiny_model("SunRgbdImVoxelHead", with_layout=True)
     batch = _tiny_batch(np.random.RandomState(1))
