@@ -5,12 +5,22 @@ data_root = 'data/kitti/'
 class_names = ['Pedestrian', 'Cyclist', 'Car']
 point_cloud_range = [0, -40, -3, 70.4, 40, 1]
 input_modality = dict(use_lidar=True, use_camera=False)
+db_sampler = dict(
+    data_root=data_root,
+    info_path=data_root + 'kitti_dbinfos_train.pkl',
+    rate=1.0,
+    prepare=dict(
+        filter_by_difficulty=[-1],
+        filter_by_min_points=dict(Car=5, Pedestrian=10, Cyclist=10)),
+    classes=class_names,
+    sample_groups=dict(Car=12, Pedestrian=6, Cyclist=6))
 
 train_pipeline = [
     dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=4,
          use_dim=4),
     dict(type='LoadAnnotations3D', with_bbox_3d=True,
          with_label_3d=True),
+    dict(type='ObjectSample', db_sampler=db_sampler),
     dict(type='ObjectNoise', num_try=100,
          translation_std=[1.0, 1.0, 0.5], global_rot_range=[0.0, 0.0],
          rot_range=[-0.78539816, 0.78539816]),

@@ -14,6 +14,7 @@ input_modality = dict(
 train_pipeline = [
     dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
          use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10),
     dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
     dict(type='GlobalRotScaleTrans',
          rot_range=[-0.3925, 0.3925],
@@ -28,6 +29,7 @@ train_pipeline = [
 test_pipeline = [
     dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
          use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10),
     dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
     dict(type='Collect3D', keys=['points']),
 ]

@@ -7,6 +7,7 @@ point_cloud_range = [-100, -100, -5, 100, 100, 3]
 train_pipeline = [
     dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
          use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10),
     dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
     dict(type='GlobalRotScaleTrans',
          rot_range=[-0.3925, 0.3925],
@@ -21,6 +22,7 @@ train_pipeline = [
 test_pipeline = [
     dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5,
          use_dim=5),
+    dict(type='LoadPointsFromMultiSweeps', sweeps_num=10),
     dict(type='PointsRangeFilter', point_cloud_range=point_cloud_range),
     dict(type='Collect3D', keys=['points']),
 ]

@@ -1,0 +1,7 @@
+# PointPillars on the FULL Waymo 3-class split (reference
+# `configs/pointpillars/
+#  hv_pointpillars_secfpn_sbn_2x16_2x_waymo-3d-3class.py` — identical
+# to the D5 variant but without the 1/5 frame subsampling).
+_base_ = ['./hv_pointpillars_secfpn_sbn_2x16_2x_waymoD5-3d-3class.py']
+
+data = dict(train=dict(load_interval=1))

@@ -1,0 +1,6 @@
+# PointPillars on the FULL Waymo car split (reference
+# `configs/pointpillars/hv_pointpillars_secfpn_sbn_2x16_2x_waymo-3d-car.py`
+# — identical to the D5 variant but without the 1/5 frame subsampling).
+_base_ = ['./hv_pointpillars_secfpn_sbn_2x16_2x_waymoD5-3d-car.py']
+
+data = dict(train=dict(load_interval=1))

@@ -51,21 +51,31 @@ def _bev_rects(boxes: np.ndarray) -> np.ndarray:
 
 
 class RandomFlip3D:
-    """BEV horizontal flip: y → −y, yaw → −yaw + π
-    (`lidar_box3d.py:153-170`)."""
+    """BEV flips (`lidar_box3d.py:153-170`, `transforms_3d.py:60-141`):
+    horizontal y → −y, yaw → −yaw + π; vertical x → −x, yaw → −yaw.
+    The two flips are drawn independently (the strong-aug free-anchor
+    configs set both ratios)."""
 
-    def __init__(self, flip_ratio_bev_horizontal: float = 0.5, **_):
+    def __init__(self, flip_ratio_bev_horizontal: float = 0.5,
+                 flip_ratio_bev_vertical: float = 0.0, **_):
         self.ratio = flip_ratio_bev_horizontal
+        self.ratio_v = flip_ratio_bev_vertical
 
     def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
-        if rng.rand() >= self.ratio:
-            return sample
-        sample["points"][:, 1] *= -1
-        if "gt_bboxes_3d" in sample and len(sample["gt_bboxes_3d"]):
-            boxes = sample["gt_bboxes_3d"]
-            boxes[:, 1] *= -1
-            boxes[:, 6] = -boxes[:, 6] + np.pi
-        sample["pcd_horizontal_flip"] = True
+        if rng.rand() < self.ratio:
+            sample["points"][:, 1] *= -1
+            if "gt_bboxes_3d" in sample and len(sample["gt_bboxes_3d"]):
+                boxes = sample["gt_bboxes_3d"]
+                boxes[:, 1] *= -1
+                boxes[:, 6] = -boxes[:, 6] + np.pi
+            sample["pcd_horizontal_flip"] = True
+        if self.ratio_v > 0 and rng.rand() < self.ratio_v:
+            sample["points"][:, 0] *= -1
+            if "gt_bboxes_3d" in sample and len(sample["gt_bboxes_3d"]):
+                boxes = sample["gt_bboxes_3d"]
+                boxes[:, 0] *= -1
+                boxes[:, 6] = -boxes[:, 6]
+            sample["pcd_vertical_flip"] = True
         return sample
 
 
@@ -202,6 +212,24 @@ class PointShuffle:
         return sample
 
 
+class ObjectNameFilter:
+    """Keep only GT whose label maps into the training class list
+    (`transforms_3d.py:515-541` — names there, integer labels here
+    since our datasets map names to ints with -1 for unknown)."""
+
+    def __init__(self, classes, **_):
+        self.n_classes = len(classes)
+
+    def __call__(self, sample: Dict, rng=None) -> Dict:
+        labels = sample.get("gt_labels_3d")
+        if labels is None or len(labels) == 0:
+            return sample
+        keep = (labels >= 0) & (labels < self.n_classes)
+        sample["gt_bboxes_3d"] = sample["gt_bboxes_3d"][keep]
+        sample["gt_labels_3d"] = labels[keep]
+        return sample
+
+
 def _object_sample(**kwargs):
     from .dbsampler import ObjectSample
 
@@ -215,6 +243,7 @@ _TRANSFORMS = {
     "ObjectSample": _object_sample,
     "PointsRangeFilter": PointsRangeFilter,
     "ObjectRangeFilter": ObjectRangeFilter,
+    "ObjectNameFilter": ObjectNameFilter,
     "PointShuffle": PointShuffle,
 }
 

@@ -37,6 +37,35 @@ def test_flip_involution():
         np.cos(s["gt_bboxes_3d"][:, 6]), np.cos(box0[:, 6]), atol=1e-6)
 
 
+def test_vertical_flip_involution_and_geometry():
+    s = _sample(seed=3)
+    pts0, box0 = s["points"].copy(), s["gt_bboxes_3d"].copy()
+    rng = np.random.RandomState(0)
+    f = RandomFlip3D(flip_ratio_bev_horizontal=0.0,
+                     flip_ratio_bev_vertical=1.0)
+    s = f(s, rng)
+    assert s.get("pcd_vertical_flip") is True
+    # x -> -x, yaw -> -yaw (lidar_box3d.py vertical branch)
+    np.testing.assert_allclose(s["points"][:, 0], -pts0[:, 0], atol=1e-6)
+    np.testing.assert_allclose(s["gt_bboxes_3d"][:, 0], -box0[:, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(s["gt_bboxes_3d"][:, 6], -box0[:, 6],
+                               atol=1e-6)
+    s = f(s, rng)  # involution
+    np.testing.assert_allclose(s["points"], pts0, atol=1e-6)
+    np.testing.assert_allclose(s["gt_bboxes_3d"], box0, atol=1e-6)
+
+
+def test_object_name_filter_drops_out_of_range_labels():
+    from nerfdet_tpu.data.transforms3d import ObjectNameFilter
+
+    s = _sample(n_boxes=4, seed=5)
+    s["gt_labels_3d"] = np.array([0, 2, -1, 3], np.int64)
+    out = ObjectNameFilter(classes=["a", "b", "c"])(s, None)
+    np.testing.assert_array_equal(out["gt_labels_3d"], [0, 2])
+    assert out["gt_bboxes_3d"].shape[0] == 2
+
+
 def test_global_rot_scale_trans_consistency():
     """Points inside a box must stay inside after the global transform."""
     from nerfdet_tpu.data.transforms3d import _points_in_box_mask
