@@ -1,0 +1,18 @@
+# CenterPoint voxel-0.1 with DCN feature adaptation in the heads
+# (reference `configs/centerpoint/
+#  centerpoint_01voxel_second_secfpn_dcn_4x8_cyclic_20e_nus.py`).
+_base_ = ['./centerpoint_01voxel_second_secfpn_4x8_cyclic_20e_nus.py']
+
+model = dict(
+    pts_bbox_head=dict(
+        seperate_head=dict(
+            type='DCNSeperateHead',
+            dcn_config=dict(
+                type='DCN',
+                in_channels=64,
+                out_channels=64,
+                kernel_size=3,
+                padding=1,
+                groups=4),
+            init_bias=-2.19,
+            final_kernel=3)))

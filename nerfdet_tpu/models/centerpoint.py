@@ -145,9 +145,14 @@ def build_centerpoint(cfg: Dict, compute_dtype=jnp.float32):
     common = hd.get("common_heads", dict(
         reg=(2, 2), height=(1, 2), dim=(3, 2), rot=(2, 2)))
     common = tuple((k, tuple(v)) for k, v in common.items())
+    sep = hd.get("seperate_head", hd.get("separate_head", {}))
+    dcn = sep.get("dcn_config", {})
     head = CenterHead(
         tasks=tasks, common_heads=common,
         share_conv_channel=hd.get("share_conv_channel", 64),
+        separate_head_type=sep.get("type", "SeparateHead"),
+        dcn_groups=dcn.get("groups", 4),
+        dcn_deform_groups=dcn.get("deform_groups", 1),
         dtype=compute_dtype)
 
     coder = hd.get("bbox_coder", {})

@@ -72,12 +72,66 @@ class SeparateHead(nn.Module):
         return out
 
 
+class DCNSeparateHead(nn.Module):
+    """Separate head with deformable-conv feature adaptation
+    (reference ``DCNSeperateHead``, `centerpoint_head.py:122-234`):
+    two DCN layers split the shared feature into classification and
+    regression streams; the heatmap gets its own conv-bn-relu-conv
+    tower, the remaining branches reuse :class:`SeparateHead`.
+    """
+
+    heads: Dict[str, Tuple[int, int]]
+    dcn_groups: int = 4
+    dcn_deform_groups: int = 1
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .dcn import DeformConv2d
+
+        num_cls = self.heads["heatmap"][0]
+        reg_heads = {k: v for k, v in self.heads.items()
+                     if k != "heatmap"}
+        c = x.shape[-1]
+        center_feat = DeformConv2d(
+            out_channels=c, groups=self.dcn_groups,
+            deform_groups=self.dcn_deform_groups, dtype=self.dtype,
+            name="feature_adapt_cls")(x)
+        reg_feat = DeformConv2d(
+            out_channels=c, groups=self.dcn_groups,
+            deform_groups=self.dcn_deform_groups, dtype=self.dtype,
+            name="feature_adapt_reg")(x)
+
+        h = nn.Conv(self.head_conv, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype,
+                    name="cls_conv")(center_feat)
+        h = _bn(train, self.dtype, "cls_bn")(h)
+        h = nn.relu(h)
+        heatmap = nn.Conv(
+            num_cls, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+            bias_init=nn.initializers.constant(self.init_bias),
+            dtype=self.dtype, name="cls_out")(h)
+
+        out = SeparateHead(
+            heads=reg_heads, head_conv=self.head_conv,
+            final_kernel=self.final_kernel, dtype=self.dtype,
+            name="task_head")(reg_feat, train=train)
+        out["heatmap"] = heatmap
+        return out
+
+
 class CenterHead(nn.Module):
     """Multi-task center head (reference `centerpoint_head.py:235-354`).
 
     ``tasks``: per-task class counts; ``common_heads``: regression
     branch spec, e.g. ``{"reg": (2, 2), "height": (1, 2),
     "dim": (3, 2), "rot": (2, 2), "vel": (2, 2)}``.
+    ``separate_head_type``: 'SeparateHead' (default) or
+    'DCNSeperateHead' (the reference's spelling) for deformable-conv
+    feature adaptation per task.
     """
 
     tasks: Tuple[int, ...] = (1,)
@@ -85,6 +139,9 @@ class CenterHead(nn.Module):
                          ("dim", (3, 2)), ("rot", (2, 2)))
     share_conv_channel: int = 64
     num_heatmap_convs: int = 2
+    separate_head_type: str = "SeparateHead"
+    dcn_groups: int = 4
+    dcn_deform_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,8 +158,14 @@ class CenterHead(nn.Module):
         for t, num_cls in enumerate(self.tasks):
             heads = dict(self.common_heads)
             heads["heatmap"] = (num_cls, self.num_heatmap_convs)
-            o = SeparateHead(heads=heads, dtype=self.dtype,
-                             name=f"task_{t}")(x, train=train)
+            if self.separate_head_type.startswith("DCN"):
+                o = DCNSeparateHead(
+                    heads=heads, dcn_groups=self.dcn_groups,
+                    dcn_deform_groups=self.dcn_deform_groups,
+                    dtype=self.dtype, name=f"task_{t}")(x, train=train)
+            else:
+                o = SeparateHead(heads=heads, dtype=self.dtype,
+                                 name=f"task_{t}")(x, train=train)
             if squeeze:
                 o = {k: v[0] for k, v in o.items()}
             outs.append(o)

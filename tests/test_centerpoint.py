@@ -225,3 +225,50 @@ def test_builder_registry():
 
     model = build_model(_cfg())
     assert model.__class__.__name__ == "CenterPoint"
+
+
+def test_dcn_head_forward_loss_grad():
+    """DCNSeperateHead variant (reference `centerpoint_head.py:122-234`
+    + the *_dcn_* configs): same train/detect surface, deformable
+    feature adaptation inside each task head."""
+    cfg = _cfg()
+    cfg["bbox_head"]["seperate_head"] = dict(
+        type="DCNSeperateHead",
+        dcn_config=dict(type="DCN", in_channels=64, out_channels=64,
+                        kernel_size=3, padding=1, groups=4),
+        init_bias=-2.19, final_kernel=3)
+    model, aux = build_centerpoint(cfg)
+    assert model.bbox_head.separate_head_type == "DCNSeperateHead"
+    rng = np.random.RandomState(1)
+    pts = rng.uniform([0, -8, -3, 0], [16, 8, 1, 1],
+                      (512, 4)).astype(np.float32)
+    boxes, labels = _gt()
+
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), pts, train=False))()
+    # the DCN offset convs exist and start at zero
+    p = variables["params"]["bbox_head"]["task_0"]
+    assert "feature_adapt_cls" in p and "feature_adapt_reg" in p
+    assert float(jnp.abs(
+        p["feature_adapt_cls"]["conv_offset"]["kernel"]).sum()) == 0.0
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            pts, train=True, mutable=["batch_stats"])
+        tgts = centerpoint_targets_from_aux(boxes, labels, aux)
+        losses = centerpoint_loss_from_aux(preds, tgts, aux)
+        return losses["loss_heatmap"] + losses["loss_bbox"]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    goff = float(jnp.abs(grads["bbox_head"]["task_0"][
+        "feature_adapt_cls"]["conv_offset"]["kernel"]).sum())
+    assert np.isfinite(goff) and goff > 0  # offsets receive gradient
+
+    preds = jax.jit(lambda v: model.apply(v, pts, train=False))(variables)
+    b, s, lab = centerpoint_detect(
+        [{k: np.asarray(v) for k, v in p.items()} for p in preds], aux)
+    assert b.shape[1] == 7 and len(s) == len(lab) == len(b)
