@@ -1,0 +1,7 @@
+# CenterPoint voxel-0.075 + DCN heads + circle NMS with double-flip
+# test-time augmentation (reference `configs/centerpoint/
+#  centerpoint_0075voxel_second_secfpn_dcn_circlenms_4x8_cyclic_flip-tta_20e_nus.py`).
+_base_ = './centerpoint_0075voxel_second_secfpn_dcn_4x8_cyclic_flip-tta_20e_nus.py'
+
+model = dict(
+    test_cfg=dict(pts=dict(nms_type='circle')))

@@ -177,7 +177,11 @@ def build_centerpoint(cfg: Dict, compute_dtype=jnp.float32):
             "score_threshold", coder.get("score_threshold", 0.1)),
         post_center_range=coder.get("post_center_range"),
         nms_min_radius=test_cfg.get("min_radius", [4.0]),
+        nms_type=test_cfg.get("nms_type", "circle"),
+        nms_thr=test_cfg.get("nms_thr", 0.2),
+        pre_max_size=test_cfg.get("pre_max_size", 1000),
         post_max_size=test_cfg.get("post_max_size", 83),
+        merge_max_num=test_cfg.get("max_num", 500),
         k=min(coder.get("max_num", 100),
               (int(grid[0]) // out_size_factor)
               * (int(grid[1]) // out_size_factor)),
@@ -218,6 +222,96 @@ def centerpoint_detect(preds, aux: Dict):
         post_center_range=aux["post_center_range"],
         with_vel=aux["with_vel"]) for p in preds]
     return centerpoint_post_process(
-        outs, aux["task_classes"], nms_type="circle",
+        outs, aux["task_classes"],
+        nms_type=aux.get("nms_type", "circle"),
         min_radius=aux["nms_min_radius"],
-        post_max_size=aux["post_max_size"])
+        post_max_size=aux["post_max_size"],
+        nms_thr=aux.get("nms_thr", 0.2),
+        pre_max_size=aux.get("pre_max_size", 1000))
+
+
+def _flip_preds_back(pred: Dict, h_flip: bool, v_flip: bool) -> Dict:
+    """Map one task's raw (H, W, C) output maps of a flipped input back
+    to the original frame (reference `detectors/centerpoint.py:109-143`
+    aug_test_pts step 1).
+
+    Rows index y, columns x. Horizontal flip (input y -> -y over the
+    symmetric range): reverse rows, sub-cell reg_y -> 1 - reg_y, and
+    since training flips yaw -> pi - yaw, cos (rot ch 1) and v_y (vel
+    ch 1) negate. Vertical flip (x -> -x, yaw -> -yaw): reverse
+    columns, reg_x/sin/v_x mirror the same pattern on channel 0.
+    """
+    out = {}
+    for k, m in pred.items():
+        if h_flip:
+            m = m[::-1]
+            if k == "reg":
+                m = m.at[..., 1].set(1.0 - m[..., 1])
+            elif k in ("rot", "vel"):
+                m = m.at[..., 1].multiply(-1.0)
+        if v_flip:
+            m = m[:, ::-1]
+            if k == "reg":
+                m = m.at[..., 0].set(1.0 - m[..., 0])
+            elif k in ("rot", "vel"):
+                m = m.at[..., 0].multiply(-1.0)
+        out[k] = m
+    return out
+
+
+def merge_aug_detections(results, nms_thr: float = 0.2,
+                         max_num: int = 500):
+    """Merge decoded detections from several point-scale TTA passes
+    (reference `core/post_processing/merge_augs.py:merge_aug_bboxes_3d`):
+    boxes are already mapped back to the original scale; concatenate,
+    per-class rotated-BEV NMS, then the top ``max_num`` by score.
+
+    ``results``: list of (boxes (N, 7+), scores (N,), labels (N,)).
+    """
+    from ..core.nms import nms_bev_rotated
+
+    boxes = np.concatenate([r[0] for r in results])
+    scores = np.concatenate([r[1] for r in results])
+    labels = np.concatenate([r[2] for r in results])
+    if len(labels) == 0:
+        return boxes, scores, labels
+    keep_b, keep_s, keep_l = [], [], []
+    for cls in np.unique(labels):
+        sel = np.flatnonzero(labels == cls)
+        order = sel[np.argsort(-scores[sel])]
+        ids = nms_bev_rotated(
+            boxes[order][:, [0, 1, 3, 4, 6]], scores[order], nms_thr)
+        pick = order[np.asarray(ids)]
+        keep_b.append(boxes[pick])
+        keep_s.append(scores[pick])
+        keep_l.append(labels[pick])
+    boxes = np.concatenate(keep_b)
+    scores = np.concatenate(keep_s)
+    labels = np.concatenate(keep_l)
+    top = np.argsort(-scores)[:max_num]
+    return boxes[top], scores[top], labels[top]
+
+
+def centerpoint_aug_forward(model, variables, points):
+    """Double-flip test-time augmentation (reference
+    `detectors/centerpoint.py:85-187` + the flip-tta configs): run the
+    four BEV flip variants, map the raw output maps back, average the
+    logits per task, then decode once with :func:`centerpoint_detect`.
+
+    ``points``: (N, >=3) padded cloud. Returns per-task averaged pred
+    dicts (same pytree as ``model.apply``). jit-safe.
+    """
+    import jax
+
+    def one(h_flip, v_flip):
+        p = points
+        if h_flip:
+            p = p.at[:, 1].multiply(-1.0)
+        if v_flip:
+            p = p.at[:, 0].multiply(-1.0)
+        preds = model.apply(variables, p, train=False)
+        return [_flip_preds_back(t, h_flip, v_flip) for t in preds]
+
+    variants = [one(h, v) for h in (False, True) for v in (False, True)]
+    return jax.tree_util.tree_map(
+        lambda *xs: sum(xs) / len(xs), *variants)

@@ -420,11 +420,15 @@ def centerpoint_post_process(task_outs: Sequence[Dict],
                              task_classes: Sequence[int],
                              nms_type: str = "circle",
                              min_radius: Sequence[float] = (4.0,),
-                             post_max_size: int = 83):
+                             post_max_size: int = 83,
+                             nms_thr: float = 0.2,
+                             pre_max_size: int = 1000):
     """Host-side NMS + cross-task merge (reference
     `centerpoint_head.py:654-705`). ``task_outs`` are decode() results
-    pulled to numpy. Returns (boxes, scores, labels)."""
-    from ..core.nms import circle_nms
+    pulled to numpy. ``nms_type``: 'circle' or 'rotate' (the
+    reference's nms_gpu rotated-BEV path, class-agnostic within each
+    task). Returns (boxes, scores, labels)."""
+    from ..core.nms import circle_nms, nms_bev_rotated
 
     all_b, all_s, all_l = [], [], []
     base = 0
@@ -444,6 +448,11 @@ def centerpoint_post_process(task_outs: Sequence[Dict],
                 np.concatenate([b[:, :2], s[:, None]], axis=1),
                 float(min_radius[min(t, len(min_radius) - 1)]))
             kept = kept[:post_max_size]
+            b, s, lab = b[kept], s[kept], lab[kept]
+        elif nms_type == "rotate" and len(s):
+            b, s, lab = b[:pre_max_size], s[:pre_max_size], lab[:pre_max_size]
+            kept = nms_bev_rotated(b[:, [0, 1, 3, 4, 6]], s, nms_thr)
+            kept = np.asarray(kept)[:post_max_size]
             b, s, lab = b[kept], s[kept], lab[kept]
         all_b.append(b)
         all_s.append(s)

@@ -270,27 +270,61 @@ def run_indoor_points_eval(model, variables, dataset, model_cfg: Dict,
 def run_points_eval(model, variables, dataset, model_cfg: Dict,
                     aux=None, anchors=None, logger=None,
                     score_thr: float = 0.1, nms_pre: int = 100,
-                    max_out: int = 50) -> Dict:
+                    max_out: int = 50, flip_tta: bool = False,
+                    tta_scales=None) -> Dict:
     """Whole-dataset inference + dataset-protocol evaluation.
 
     Device side is one jitted forward+decode per scene; NMS and anno
     formatting run host-side, then ``dataset.evaluate`` applies the
     dataset's own protocol (KITTI eval for KittiDataset).
+    ``flip_tta`` (CenterPoint only): double-flip test-time augmentation
+    — average the four BEV flip variants' logits before decoding
+    (reference `detectors/centerpoint.py:85-187`, the flip-tta configs).
+    ``tta_scales`` (CenterPoint only): point-scale TTA factors; decoded
+    boxes are mapped back and merged with per-class rotated NMS
+    (reference `merge_augs.py:merge_aug_bboxes_3d`, the tta configs).
     """
     from ..core.nms import box3d_multiclass_nms
 
     mtype = model_cfg["type"]
     results = []
     if mtype == "CenterPoint":
-        from ..models.centerpoint import centerpoint_detect
+        from ..models.centerpoint import (centerpoint_aug_forward,
+                                          centerpoint_detect,
+                                          merge_aug_detections)
 
-        fwd = jax.jit(lambda v, pts: model.apply(v, pts, train=False))
+        if flip_tta:
+            fwd = jax.jit(lambda v, pts: centerpoint_aug_forward(
+                model, v, pts))
+        else:
+            fwd = jax.jit(lambda v, pts: model.apply(
+                v, pts, train=False))
+        scales = tuple(tta_scales or (1.0,))
         for i in range(len(dataset)):
             item = dataset[i]
-            preds = fwd(variables, jnp.asarray(item["points"]))
-            preds = [{k: np.asarray(v) for k, v in p.items()}
-                     for p in preds]
-            boxes, scores, labels = centerpoint_detect(preds, aux)
+            per_scale = []
+            for s in scales:
+                pts = np.asarray(item["points"])
+                if s != 1.0:
+                    pts = pts.copy()
+                    pts[:, :3] *= s
+                preds = fwd(variables, jnp.asarray(pts))
+                preds = [{k: np.asarray(v) for k, v in p.items()}
+                         for p in preds]
+                boxes, scores, labels = centerpoint_detect(preds, aux)
+                if s != 1.0:
+                    boxes = boxes.copy()
+                    # map back: centers/dims (and velocities) scale 1/s
+                    boxes[:, :6] /= s
+                    if boxes.shape[1] > 7:
+                        boxes[:, 7:9] /= s
+                per_scale.append((boxes, scores, labels))
+            if len(per_scale) > 1:
+                boxes, scores, labels = merge_aug_detections(
+                    per_scale, nms_thr=aux.get("nms_thr", 0.2),
+                    max_num=aux.get("merge_max_num", 500))
+            else:
+                boxes, scores, labels = per_scale[0]
             results.append(dict(boxes_3d=boxes, scores_3d=scores,
                                 labels_3d=labels))
     elif mtype == "PartA2":

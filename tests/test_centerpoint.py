@@ -227,6 +227,85 @@ def test_builder_registry():
     assert model.__class__.__name__ == "CenterPoint"
 
 
+def _maps_from_targets(tgt, n_reg: int = 8):
+    """Dense pred maps encoding a target dict (as in the round-trip
+    test): heatmap logits + anno values scattered at their cells."""
+    hm = np.asarray(tgt["heatmap"])
+    logits = np.where(hm >= 1.0, 12.0, -12.0).astype(np.float32)
+    h, w, _ = hm.shape
+    full = np.zeros((h, w, n_reg), np.float32)
+    inds = np.asarray(tgt["ind"])
+    mask = np.asarray(tgt["mask"]).astype(bool)
+    anno = np.asarray(tgt["anno_box"])
+    for i in np.where(mask)[0]:
+        full[inds[i] // w, inds[i] % w] = anno[i]
+    return dict(
+        heatmap=jnp.asarray(logits),
+        reg=jnp.asarray(full[..., 0:2]),
+        height=jnp.asarray(full[..., 2:3]),
+        dim=jnp.asarray(full[..., 3:6]),
+        rot=jnp.asarray(full[..., 6:8]),
+    )
+
+
+@pytest.mark.parametrize("h_flip,v_flip", [(True, False), (False, True)])
+def test_flip_preds_back_inverts_world_flip(h_flip, v_flip):
+    """TTA flip-back (reference `detectors/centerpoint.py:109-143`):
+    encoding world-flipped boxes and mapping the maps back must
+    reproduce the original encoding — heatmaps exactly, regression
+    values at the peak cells."""
+    from nerfdet_tpu.models.centerpoint import _flip_preds_back
+
+    sym_range = (-8.0, -8.0, -3.0, 8.0, 8.0, 1.0)
+    boxes = jnp.asarray([[1.3, 2.7, -1.0, 1.6, 3.9, 1.5, 0.7],
+                         [-3.1, -0.9, -0.5, 0.8, 1.2, 1.7, -1.9]],
+                        jnp.float32)
+    labels = jnp.asarray([0, 0])
+    kw = dict(task_classes=(1,), feature_map_size=(32, 32),
+              point_cloud_range=sym_range, voxel_size=VOXEL,
+              out_size_factor=2, max_objs=8)
+    t0 = centerpoint_targets(boxes, labels, **kw)[0]
+
+    fb = np.asarray(boxes).copy()
+    if h_flip:  # y -> -y, yaw -> pi - yaw (transforms3d.RandomFlip3D)
+        fb[:, 1] *= -1
+        fb[:, 6] = -fb[:, 6] + np.pi
+    if v_flip:  # x -> -x, yaw -> -yaw
+        fb[:, 0] *= -1
+        fb[:, 6] = -fb[:, 6]
+    t1 = centerpoint_targets(jnp.asarray(fb), labels, **kw)[0]
+
+    m0 = _maps_from_targets(t0)
+    m1 = _flip_preds_back(_maps_from_targets(t1), h_flip, v_flip)
+
+    np.testing.assert_allclose(np.asarray(m1["heatmap"]),
+                               np.asarray(m0["heatmap"]), atol=1e-5)
+    # regression values at the original peak cells
+    w = m0["heatmap"].shape[1]
+    inds = np.asarray(t0["ind"])[np.asarray(t0["mask"]).astype(bool)]
+    for key in ("reg", "height", "dim", "rot"):
+        a = np.asarray(m0[key])
+        b = np.asarray(m1[key])
+        for cell in inds:
+            np.testing.assert_allclose(
+                b[cell // w, cell % w], a[cell // w, cell % w],
+                atol=1e-4, err_msg=key)
+
+
+def test_merge_aug_detections_dedups_across_scales():
+    from nerfdet_tpu.models.centerpoint import merge_aug_detections
+
+    b = np.array([[0, 0, 0, 2, 2, 1, 0.0]], np.float32)
+    r1 = (b, np.array([0.9], np.float32), np.array([1]))
+    r2 = (b + 0.01, np.array([0.8], np.float32), np.array([1]))
+    r3 = (b + 10.0, np.array([0.7], np.float32), np.array([0]))
+    boxes, scores, labels = merge_aug_detections([r1, r2, r3],
+                                                 nms_thr=0.2)
+    assert len(boxes) == 2  # near-duplicate suppressed, classes kept
+    assert set(labels.tolist()) == {0, 1}
+    assert scores.max() == np.float32(0.9)
+
+
 def test_dcn_head_forward_loss_grad():
     """DCNSeperateHead variant (reference `centerpoint_head.py:122-234`
     + the *_dcn_* configs): same train/detect surface, deformable

@@ -110,9 +110,20 @@ def main():
             metrics = run_indoor_points_eval(model, variables, dataset,
                                              cfg.model, logger=logger)
         else:
+            # double-flip / multi-scale TTA when the test pipeline asks
+            # (reference MultiScaleFlipAug3D, the [flip-]tta configs)
+            flip_tta, tta_scales = False, None
+            for st in cfg.data["test"].get("pipeline", []):
+                if st.get("type") == "MultiScaleFlipAug3D":
+                    flip_tta = bool(st.get("flip", False))
+                    ratio = st.get("pts_scale_ratio", 1)
+                    if isinstance(ratio, (list, tuple)) and len(ratio) > 1:
+                        tta_scales = tuple(float(r) for r in ratio)
             metrics = run_points_eval(model, variables, dataset,
                                       cfg.model, aux=aux,
-                                      anchors=anchors, logger=logger)
+                                      anchors=anchors, logger=logger,
+                                      flip_tta=flip_tta,
+                                      tta_scales=tta_scales)
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(metrics, f, indent=2)
