@@ -1,5 +1,9 @@
 """Driver-contract tests: entry() compiles; dryrun_multichip(8) executes."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 
 import jax

@@ -20,8 +20,11 @@ an environment without mmcv/mmdet: any resize/pad/rounding divergence
 anywhere in the composed graph fails the 1e-3 assertions here.
 """
 
-import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
+
+import numpy as np
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402

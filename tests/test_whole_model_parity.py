@@ -11,8 +11,11 @@ torch replica (this file), 3D neck + head + NeRF MLP vs torch replicas
 between covered by `test_ops_voxel.py` / `test_streaming_render.py`.
 """
 
-import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
+
+import numpy as np
 
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
