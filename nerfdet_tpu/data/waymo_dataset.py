@@ -5,11 +5,16 @@ Waymo data converted to the KITTI layout (the reference's
 ``kitti_format`` tree) rides the KITTI dataset machinery with a wider
 point-cloud validity range, 3 classes, uniform ``load_interval``
 subsampling and 6-channel points (xyz, intensity, elongation,
-timestamp). Evaluation runs the KITTI protocol over the Waymo classes
-(the reference's ``metric='kitti'`` path, `:273-331`); the
-waymo-format submission writer requires the external Waymo SDK +
-tfrecords (`:202-247`) and is intentionally not replicated — the
-documented gate mirrors how other SDK-bound paths are handled.
+timestamp).
+
+Evaluation supports BOTH reference protocols (`:217,244-331`):
+``metric='kitti'`` runs the KITTI AP over the Waymo classes, and the
+reference's default ``metric='waymo'`` computes LEVEL_1/LEVEL_2
+mAP/mAPH natively (`core/waymo_eval.py` — the reference shells out to
+the Waymo SDK binary for this; here the difficulty-bucketed,
+heading-weighted metric is implemented directly over the KITTI-format
+annos, no SDK needed). Waymo-format submission files are produced by
+`core/waymo_submission.py` + `tools/kitti2waymo.py`.
 """
 
 from __future__ import annotations
@@ -36,8 +41,31 @@ class WaymoDataset(KittiDataset):
                          pcd_limit_range=pcd_limit_range, **kwargs)
         self.data_infos = self.data_infos[::load_interval]
 
-    def evaluate(self, results, logger=None, **kwargs) -> Dict:
-        """KITTI-protocol eval over the Waymo classes; LEVEL-based
-        waymo-official mAP needs the Waymo SDK (gated, see module
-        docstring)."""
-        return super().evaluate(results, logger=logger, **kwargs)
+    def evaluate(self, results, metric="waymo", logger=None,
+                 **kwargs) -> Dict:
+        """Reference `waymo_dataset.py:215-331`: ``metric='waymo'``
+        (default) → native LEVEL-based mAP/mAPH; ``metric='kitti'`` →
+        KITTI protocol over the Waymo classes. Both may be requested
+        together (list / 'waymo+kitti')."""
+        metrics = ([metric] if isinstance(metric, str) else list(metric))
+        metrics = [m for ms in metrics for m in ms.split("+")]
+        assert any(m in ("waymo", "kitti") for m in metrics), (
+            f"invalid metric {metric}")
+        out: Dict = {}
+        if "kitti" in metrics:
+            kitti_kwargs = {k: v for k, v in kwargs.items()
+                            if k in ("pklfile_prefix",
+                                     "submission_prefix")}
+            out.update(super().evaluate(
+                results, metric=("bev", "3d"), **kitti_kwargs))
+        if "waymo" in metrics:
+            from ..core.waymo_eval import waymo_eval
+
+            det_annos = self.bbox2result_kitti(results)
+            ap = waymo_eval(self.ground_truth_annos(), det_annos,
+                            classes=list(self.classes))
+            out.update({k: round(float(v), 4) for k, v in ap.items()})
+            if logger is not None:
+                for k in sorted(ap):
+                    logger.info(f"{k}: {ap[k]:.4f}")
+        return out
