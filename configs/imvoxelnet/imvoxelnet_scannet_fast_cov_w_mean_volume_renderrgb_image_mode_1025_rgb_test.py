@@ -1,0 +1,13 @@
+# Generated from the reference config of the same name
+# (values verbatim; see _base_fast_cov.py for the family note).
+_base_ = ['./_base_fast_cov.py']
+
+model = {'voxel_size': (0.16, 0.16, 0.16),
+ 'near_far_range': [0.5, 5.5],
+ 'N_rand': 4096,
+ 'depth_supervise': False,
+ 'squeeze_scale': 8}
+
+input_modality = {'use_depth': False}
+
+lr_config = {'policy': 'step', 'step': [8, 16]}

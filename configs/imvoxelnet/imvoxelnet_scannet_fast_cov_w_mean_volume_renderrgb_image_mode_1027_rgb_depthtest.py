@@ -1,0 +1,7 @@
+# Generated from the reference config of the same name
+# (values verbatim; see _base_fast_cov.py for the family note).
+_base_ = ['./_base_fast_cov.py']
+
+model = {'voxel_size': (0.16, 0.16, 0.16)}
+
+lr_config = {'policy': 'step', 'step': [8, 16]}

@@ -1,0 +1,3 @@
+# Generated from the reference config of the same name
+# (values verbatim; see _base_fast_cov.py for the family note).
+_base_ = ['./_base_fast_cov.py']

@@ -1,0 +1,9 @@
+# Generated from the reference config of the same name
+# (values verbatim; see _base_fast_cov.py for the family note).
+_base_ = ['./_base_fast_cov.py']
+
+model = {'voxel_size': (0.16, 0.16, 0.2), 'depth_supervise': False}
+
+input_modality = {'use_depth': False}
+
+data = dict(train=dict(times=6))

@@ -1,0 +1,19 @@
+# Generated from the reference config of the same name
+# (values verbatim; see _base_fast_cov.py for the family note).
+_base_ = ['./_base_fast_cov.py']
+
+model = {'voxel_size': (0.16, 0.16, 0.2),
+ 'depth_supervise': False,
+ 'overfit_nerfmlp': True}
+
+train_pipeline_overrides = {'n_images': 50, 'img_scale': (320, 240), 'pad_size': (240, 320)}
+
+test_pipeline_overrides = {'n_images': 101, 'img_scale': (320, 240), 'pad_size': (240, 320)}
+
+data = dict(train=dict(times=1000))
+
+optimizer = {'type': 'AdamW',
+ 'lr': 1e-05,
+ 'weight_decay': 0.0001,
+ 'paramwise_cfg': {'custom_keys': {'backbone': {'lr_mult': 0.1,
+                                                'decay_mult': 1.0}}}}

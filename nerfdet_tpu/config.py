@@ -81,6 +81,56 @@ def _exec_config_file(path: str) -> Dict[str, Any]:
             bpath = os.path.join(os.path.dirname(path), b)
             merged = _merge_dict(merged, _exec_config_file(bpath))
         cfg = _merge_dict(merged, cfg)
+    return _apply_pipeline_overrides(cfg)
+
+
+def _pipeline_lists(cfg: dict, which: str):
+    """Yield every pipeline step-list reachable for ``which`` (train/test):
+    the top-level ``{which}_pipeline`` and the (possibly RepeatDataset-
+    nested) ``data.train`` / ``data.val`` / ``data.test`` entries."""
+    if isinstance(cfg.get(f"{which}_pipeline"), list):
+        yield cfg[f"{which}_pipeline"]
+    nodes = ([cfg.get("data", {}).get("train")] if which == "train"
+             else [cfg.get("data", {}).get("val"),
+                   cfg.get("data", {}).get("test")])
+    for n in nodes:
+        while isinstance(n, dict) and "dataset" in n:
+            n = n["dataset"]
+        if isinstance(n, dict) and isinstance(n.get("pipeline"), list):
+            yield n["pipeline"]
+
+
+def _apply_pipeline_overrides(cfg: dict) -> dict:
+    """Apply ``train_pipeline_overrides`` / ``test_pipeline_overrides``.
+
+    ``_base_`` merge is a dict merge, so a child config cannot retarget
+    knobs that the base baked into its pipeline *lists* (lists replace
+    wholesale). These override dicts are the escape hatch: keys are
+    applied onto every reachable MultiViewPipeline step — ``img_scale``
+    onto its Resize transform, ``pad_size`` onto its Pad transform,
+    everything else (n_images, nerf_target_views, loading, ...) onto
+    the step itself. Keys suffixed ``_test``/``_train`` are ignored
+    here; use the matching overrides dict instead.
+    """
+    for which in ("train", "test"):
+        ov = cfg.pop(f"{which}_pipeline_overrides", None)
+        if not ov:
+            continue
+        for steps in _pipeline_lists(cfg, which):
+            for st in steps:
+                if st.get("type") != "MultiViewPipeline":
+                    continue
+                for k, v in ov.items():
+                    if k == "img_scale":
+                        for t in st.get("transforms", []):
+                            if t.get("type") == "Resize":
+                                t["img_scale"] = v
+                    elif k == "pad_size":
+                        for t in st.get("transforms", []):
+                            if t.get("type") == "Pad":
+                                t["size"] = v
+                    else:
+                        st[k] = v
     return cfg
 
 

@@ -64,6 +64,7 @@ def _build_nerfdet(cfg: dict, meta: SceneMeta = None,
         nerf_mode=cfg.get("nerf_mode", "image"),
         squeeze_scale=cfg.get("squeeze_scale", 4),
         nerf_density=cfg.get("nerf_density", False),
+        volume_type=cfg.get("volume_type", "mean"),
         meta=meta or SceneMeta(),
         compute_dtype=compute_dtype,
     )
@@ -93,6 +94,15 @@ def _build_imvoxelnet_ref(cfg: dict, meta: SceneMeta = None,
     for (model, anchors)."""
     n3_type = cfg.get("neck_3d", {}).get("type", "KittiImVoxelNeck")
     if n3_type in ("ImVoxelNeck", "FastIndoorImVoxelNeck"):
+        # the fast_cov ablation family (56 `imvoxelnet_scannet_fast_cov*`
+        # configs) is NeRF-Det's dev surface typed as ImVoxelNet: any
+        # nerf key present routes to the full NeRF-Det graph so
+        # volume_type / nerf_mode / nerf_density / render supervision
+        # all take effect
+        if any(k in cfg for k in ("volume_type", "nerf_mode",
+                                  "nerf_density", "N_samples")):
+            return _build_nerfdet(cfg, meta=meta,
+                                  compute_dtype=compute_dtype)
         from .imvoxelnet_indoor import build_imvoxelnet_indoor
 
         return build_imvoxelnet_indoor(cfg, meta=meta,

@@ -77,6 +77,15 @@ class NerfDet(nn.Module):
     nerf_mode: str = "image"
     squeeze_scale: int = 4
     nerf_density: bool = True
+    # which fused statistic feeds the detection neck (the `volume_type`
+    # key of the reference's fast_cov ablation configs,
+    # `configs/imvoxelnet/imvoxelnet_scannet_fast_cov_w_mean_volume_renderrgb_image_mode_1028_rgb_depthtest.py:44`).
+    # The key is dead upstream (nothing consumes it — no ImVoxelNet
+    # detector class exists there), so the semantics here are this
+    # framework's: 'mean' = view-mean features (the shipped NeRF-Det
+    # behavior), 'cov' = the exp(-variance) agreement map alone,
+    # 'cov_w_mean' = mean weighted by that agreement (mean * cov).
+    volume_type: str = "mean"
     meta: SceneMeta = SceneMeta()
     compute_dtype: Any = jnp.float32
 
@@ -201,7 +210,13 @@ class NerfDet(nn.Module):
                 axis_name=view_axis,
             )
 
-        det_volume = mean
+        if self.volume_type == "mean":
+            det_volume = mean
+        elif self.volume_type == "cov":
+            det_volume = cov
+        else:
+            assert self.volume_type == "cov_w_mean", self.volume_type
+            det_volume = mean * cov
         if use_nerf and self.nerf_density:
             global_volume = jnp.concatenate([g_mean, g_cov], axis=-1)
             density = self.nerf_mlp.query_density(
@@ -209,7 +224,7 @@ class NerfDet(nn.Module):
                 global_volume.astype(self.compute_dtype),
             )
             alpha = 1.0 - jnp.exp(-density)  # (N, 1)
-            det_volume = alpha * mean
+            det_volume = alpha * det_volume
 
         observed = count[:, None] > 0
         det_volume = jnp.where(observed, det_volume, 0.0)

@@ -384,7 +384,8 @@ def main():
         train_step = make_train_step_2d(
             model, tx, mesh,
             depth_supervise=cfg.model.get("depth_supervise", False),
-            use_nerf_mask=cfg.model.get("use_nerf_mask", True))
+            use_nerf_mask=cfg.model.get("use_nerf_mask", True),
+            rgb_supervision=cfg.model.get("rgb_supervision", True))
         shard_fn = lambda b: shard_batch_2d(b, mesh)  # noqa: E731
         logger.info(f"2-D mesh: {mesh.shape}")
     else:
@@ -392,7 +393,8 @@ def main():
         train_step = make_train_step(
             model, tx,
             depth_supervise=cfg.model.get("depth_supervise", False),
-            use_nerf_mask=cfg.model.get("use_nerf_mask", True))
+            use_nerf_mask=cfg.model.get("use_nerf_mask", True),
+            rgb_supervision=cfg.model.get("rgb_supervision", True))
         shard_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     mlog = MetricsLogger(work_dir, logger,
