@@ -23,8 +23,8 @@ def main():
     p = argparse.ArgumentParser(description="Data converter")
     p.add_argument("dataset",
                    choices=["scannet", "sunrgbd", "sunrgbd_monocular",
-                            "kitti", "nuscenes", "lyft", "waymo",
-                            "synthetic", "synthetic-kitti",
+                            "kitti", "nuscenes", "nuimages", "lyft",
+                            "waymo", "synthetic", "synthetic-kitti",
                             "synthetic-nuscenes",
                             "synthetic-nuscenes-raw",
                             "synthetic-sunrgbd-raw", "gt-database"])
@@ -92,6 +92,16 @@ def main():
             max_sweeps=args.max_sweeps, train_scenes=args.train_split,
             val_scenes=args.val_split, out_dir=args.out_dir)
         print(f"[nuscenes] wrote {written}")
+    elif args.dataset == "nuimages":
+        # COCO-format 2D instance-seg export (reference
+        # `tools/data_converter/nuimage_converter.py`, SDK-free)
+        from nerfdet_tpu.data.nuimages_etl import convert_nuimages
+
+        versions = (args.version or "v1.0-mini").split(",")
+        for version in versions:
+            out = convert_nuimages(args.root_path, version=version,
+                                   out_dir=args.out_dir)
+            print(f"[nuimages] {version}: wrote {out}")
     elif args.dataset == "lyft":
         from nerfdet_tpu.data.nuscenes_etl import create_lyft_infos
 

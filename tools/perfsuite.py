@@ -28,6 +28,22 @@ from nerfdet_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
 honor_jax_platforms_env()
 
 
+def _chip_peak_flops(device) -> float:
+    """Advertised bf16 peak of the chip (FLOP/s), 0 when unknown."""
+    kind = getattr(device, "device_kind", "") or ""
+    table = {
+        "TPU v5 lite": 197e12,   # v5e: 197 TFLOP/s bf16
+        "TPU v5e": 197e12,
+        "TPU v5": 459e12,        # v5p
+        "TPU v4": 275e12,
+        "TPU v6": 918e12,        # trillium
+    }
+    for name, peak in table.items():
+        if kind.startswith(name):
+            return peak
+    return 0.0
+
+
 def _bench_flagship(report):
     import jax
     import jax.numpy as jnp
@@ -75,8 +91,22 @@ def _bench_flagship(report):
     for i in range(iters):
         out = step(params, det_batch, jnp.float32(3 + i) * 1e-4)
     jax.device_get(out)
-    report["det_scenes_per_sec_bf16"] = round(
-        iters / (time.perf_counter() - t0), 2)
+    rate = iters / (time.perf_counter() - t0)
+    report["det_scenes_per_sec_bf16"] = round(rate, 2)
+
+    # MFU of the measured graph: XLA-counted FLOPs x rate / chip peak.
+    # The flagship is gather/BW-bound, not matmul-bound (PERF.md), so
+    # low MFU here is expected; the number exists to anchor "how far
+    # from the compute roofline" each round actually is.
+    try:
+        flops = step.lower(
+            params, det_batch, jnp.float32(0.0)).cost_analysis()["flops"]
+        report["det_flops_per_scene"] = float(flops)
+        peak = _chip_peak_flops(jax.devices()[0])
+        if peak:
+            report["det_mfu_pct"] = round(100.0 * flops * rate / peak, 2)
+    except Exception as e:  # cost analysis is backend-dependent
+        report["det_mfu_error"] = repr(e)[:120]
 
     # ---- train step ----
     from nerfdet_tpu.train import TrainState, build_optimizer
@@ -466,6 +496,28 @@ def _bench_3dssd(report):
     report["ssd3d_ref_train_ms_per_gpu"] = None  # no reference row
 
 
+def compare_reports(old: dict, new: dict, tol: float = 0.10):
+    """Regressions >tol vs a committed report. Direction is inferred
+    from the metric name: *_per_sec / *_mfu_pct are higher-better,
+    *_ms_* lower-better; everything else is informational."""
+    regressions = []
+    for key, old_v in old.items():
+        new_v = new.get(key)
+        if not (isinstance(old_v, (int, float)) and
+                isinstance(new_v, (int, float)) and old_v):
+            continue
+        if "_per_sec" in key or "_mfu_" in key:
+            drop = (old_v - new_v) / old_v
+        elif "_ms_" in key and "ref" not in key:
+            drop = (new_v - old_v) / old_v
+        else:
+            continue
+        if drop > tol:
+            regressions.append(
+                f"{key}: {old_v} -> {new_v} ({drop * 100:.1f}% worse)")
+    return regressions
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="perf_report.json")
@@ -475,6 +527,11 @@ def main():
                    help="run only these benches (flagship, second, "
                         "pointpillars, parta2, votenet, centerpoint, "
                         "h3dnet, ssd3d)")
+    p.add_argument("--compare", default=None, metavar="OLD_REPORT",
+                   help="fail (exit 1) on any metric >10%% worse than "
+                        "this committed report (e.g. perf_report_r3.json)")
+    p.add_argument("--tolerance", type=float, default=0.10,
+                   help="--compare regression threshold (fraction)")
     args = p.parse_args()
 
     import jax
@@ -500,6 +557,18 @@ def main():
     print(json.dumps(report))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
+
+    if args.compare:
+        with open(args.compare) as f:
+            old = json.load(f)
+        regressions = compare_reports(old, report, args.tolerance)
+        if regressions:
+            print("PERF REGRESSIONS vs", args.compare)
+            for r in regressions:
+                print("  " + r)
+            raise SystemExit(1)
+        print(f"no regressions >{args.tolerance * 100:.0f}% vs "
+              f"{args.compare}")
 
 
 if __name__ == "__main__":
