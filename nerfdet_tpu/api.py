@@ -121,7 +121,7 @@ def single_scene_test(eval_step, variables, scene: Dict,
     import jax
 
     device_keys = ("imgs", "denorm_images", "intrinsic", "extrinsics",
-                   "origin", "depth")
+                   "origin", "depth", "rgb_s1", "rgb_s2")
     batch = {k: scene[k] for k in device_keys if k in scene}
     out = eval_step(variables["params"], variables.get("batch_stats", {}),
                     batch)

@@ -53,13 +53,21 @@ class ScanNetMultiViewDataset:
                  shift_origin_std=(0.7, 0.7, 0.0),
                  filter_empty_gt: bool = True,
                  repeat_times: int = 1,
-                 seed: int = 0):
+                 seed: int = 0,
+                 rgb_stats_spec=None):
         self.data_root = data_root
         self.classes = tuple(classes)
         self.test_mode = test_mode
         self.use_ray = use_ray
         self.n_rand = n_rand
         self.max_gt = max_gt
+        # (n_voxels, voxel_size, compute_dtype): when set, ship the
+        # parameter-independent nerf_density rgb statistics with each
+        # sample (ops/voxel.host_rgb_stats) so the device fusion scan
+        # skips its per-view full-resolution rgb gather. The loader's
+        # prefetch overlaps the host cost with device compute (the
+        # VoteNet host-sampling-chain pattern, PERF.md round 1).
+        self.rgb_stats_spec = rgb_stats_spec
         self.filter_empty_gt = filter_empty_gt and not test_mode
         self.repeat_times = repeat_times
         self.pipeline = pipeline or MultiViewPipeline()
@@ -158,6 +166,17 @@ class ScanNetMultiViewDataset:
             sample["gt_rgb"] = sample.pop("gt_images")
             if "gt_depths" in sample:
                 sample["gt_depth"] = sample.pop("gt_depths")
+        if self.rgb_stats_spec is not None and "depth" not in sample:
+            from ..ops.voxel import host_rgb_stats
+
+            n_vox, vsz, cdtype = self.rgb_stats_spec
+            s1, s2 = host_rgb_stats(
+                sample["denorm_images"], sample["intrinsic"],
+                sample["extrinsics"], origin, n_vox, vsz,
+                sample["ori_shape"], sample["img_shape"],
+                compute_dtype=cdtype)
+            sample["rgb_s1"] = s1
+            sample["rgb_s2"] = s2
         # static-shape hygiene: drop host-only metadata from the batch
         for k in ("ori_shape", "img_shape", "depth_range", "nerf_size"):
             sample.pop(k, None)
@@ -263,9 +282,27 @@ class ScanNetPointsDataset(ScanNetMultiViewDataset):
         return out
 
 
+def rgb_stats_spec_from_config(cfg, use_depth: bool = False,
+                               bf16: bool = False):
+    """Host rgb-statistics spec for :class:`ScanNetMultiViewDataset`.
+
+    Returns ``(n_voxels, voxel_size, compute_dtype)`` when the config's
+    model is a nerf_density NerfDet whose fusion runs without a depth
+    gate (the flagship path) — the only case where the pipeline can
+    precompute the rgb stream exactly — else ``None``.
+    """
+    model = cfg.get("model", {}) if hasattr(cfg, "get") else {}
+    if model.get("type") != "nerfdet":  # the config registry key
+        return None
+    if not model.get("nerf_density", False) or use_depth:
+        return None
+    return (tuple(model["n_voxels"]), tuple(model["voxel_size"]),
+            "bfloat16" if bf16 else "float32")
+
+
 def build_dataset(data_cfg: Dict, test_mode: bool = False,
-                  use_depth: bool = False, n_rand: int = 2048
-                  ) -> ScanNetMultiViewDataset:
+                  use_depth: bool = False, n_rand: int = 2048,
+                  rgb_stats_spec=None) -> ScanNetMultiViewDataset:
     """Build from a reference-style ``data['train'/'val'/'test']`` dict."""
     repeat = 1
     if data_cfg.get("type") == "RepeatDataset":
@@ -413,4 +450,5 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
         shift_origin_std=shift,
         filter_empty_gt=data_cfg.get("filter_empty_gt", False),
         repeat_times=repeat,
+        rgb_stats_spec=rgb_stats_spec,
     )

@@ -158,7 +158,8 @@ class NerfDet(nn.Module):
 
     def build_volume(self, features, imgs_denorm, intrinsic, extrinsics,
                      origin, depth=None, use_nerf: bool = True,
-                     view_axis: Optional[str] = None):
+                     view_axis: Optional[str] = None,
+                     rgb_stats=None):
         """Back-project, fuse, (optionally) density-modulate the volume.
 
         Mirrors `nerfdet.py:149-261` for one scene.
@@ -188,21 +189,35 @@ class NerfDet(nn.Module):
             _ = self.mapping(jnp.zeros((1, features.shape[-1]),
                                        self.compute_dtype))
             map_params = self.mapping.variables["params"]
-            rgb_projection = compute_projection(
-                intrinsic, extrinsics, self.meta.ori_shape[0] / h_img)
-            mean, cov, count, g_mean, g_cov = fused_mean_cov(
-                features, pts_flat, projection,
-                depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
-                # bf16 rgb maps halve the gather bytes on the
-                # byte-bound packed rows (PERF.md item 1); statistics
-                # still accumulate in f32 after the gather
-                extra_features=imgs_denorm.astype(self.compute_dtype),
-                extra_projection=rgb_projection,
-                extra_image_hw=(h_img, w_img),
-                axis_name=view_axis,
-                mapped_kernel=map_params["kernel"],
-                mapped_bias=map_params["bias"],
-            )
+            if rgb_stats is not None and depth is None:
+                # host-precomputed rgb sums (data pipeline,
+                # ops/voxel.host_rgb_stats): drops the per-view
+                # full-res rgb gather from the device scan
+                mean, cov, count, g_mean, g_cov = fused_mean_cov(
+                    features, pts_flat, projection,
+                    depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
+                    axis_name=view_axis,
+                    mapped_kernel=map_params["kernel"],
+                    mapped_bias=map_params["bias"],
+                    precomputed_extra=rgb_stats,
+                )
+            else:
+                rgb_projection = compute_projection(
+                    intrinsic, extrinsics, self.meta.ori_shape[0] / h_img)
+                mean, cov, count, g_mean, g_cov = fused_mean_cov(
+                    features, pts_flat, projection,
+                    depth=depth, voxel_size_z=vsz, image_hw=feat_hw,
+                    # bf16 rgb maps halve the gather bytes on the
+                    # byte-bound packed rows (PERF.md item 1);
+                    # statistics still accumulate in f32 after the
+                    # gather
+                    extra_features=imgs_denorm.astype(self.compute_dtype),
+                    extra_projection=rgb_projection,
+                    extra_image_hw=(h_img, w_img),
+                    axis_name=view_axis,
+                    mapped_kernel=map_params["kernel"],
+                    mapped_bias=map_params["bias"],
+                )
         else:
             mean, cov, count = fused_mean_cov(
                 features, pts_flat, projection,
@@ -351,6 +366,8 @@ class NerfDet(nn.Module):
         Returns (head_outs, valid, render_outputs).
         """
         features = self.extract_2d(batch["imgs"])
+        rgb_stats = (None if "rgb_s1" not in batch
+                     else (batch["rgb_s1"], batch["rgb_s2"]))
         vol = self.build_volume(
             features,
             batch.get("denorm_images"),
@@ -360,6 +377,7 @@ class NerfDet(nn.Module):
             depth=batch.get("depth"),
             use_nerf=with_rays,
             view_axis=view_axis,
+            rgb_stats=rgb_stats,
         )
         head_outs = self.detect(vol["det_volume"], train=train)
 
@@ -399,7 +417,9 @@ class NerfDet(nn.Module):
             vol = self.build_volume(
                 features, batch.get("denorm_images"), batch["intrinsic"],
                 batch["extrinsics"], batch["origin"],
-                depth=batch.get("depth"), use_nerf=True)
+                depth=batch.get("depth"), use_nerf=True,
+                rgb_stats=(None if "rgb_s1" not in batch
+                           else (batch["rgb_s1"], batch["rgb_s2"])))
         else:
             # hoisted out of the loop; cropped to the reference's
             # feature extent (see the matching note in `render`)

@@ -185,15 +185,46 @@ def conv3d_zfold(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
     return y.reshape(b, d_out, ho, wo, kernel.shape[-1])
 
 
+def conv3d_xla(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
+               padding=((1, 1), (1, 1), (1, 1))):
+    """XLA's native Conv3D lowering (NDHWC), for comparison/dispatch."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=tuple(strides),
+        padding=tuple(tuple(p) for p in _norm_padding(padding)),
+        dimension_numbers=dn, preferred_element_type=x.dtype)
+
+
 # perf experiment dispatch (read at trace time, i.e. per compile):
-#   NERFDET_TPU_CONV3D = ztap (default) | mm | zfold
-_SCHEDULES = {"ztap": conv3d_ztap, "mm": conv3d_mm, "zfold": conv3d_zfold}
+#   NERFDET_TPU_CONV3D = auto (default, per-shape table) | ztap | mm
+#                        | zfold | xla
+_SCHEDULES = {"ztap": conv3d_ztap, "mm": conv3d_mm, "zfold": conv3d_zfold,
+              "xla": conv3d_xla}
+
+# Per-shape winners measured on TPU v5e bf16 (tools/convbench.py
+# chained-fori_loop methodology, fwd + fwd+bwd summed; PERF.md round-4
+# section has the full table). Keyed by (cin, cout, stride): the
+# channel pair + stride sets the MXU tiling regime; spatial extent
+# only scales the cost. Shapes not in the table (and every shape
+# where the two schedules were within relay noise) fall back to the
+# z-tap decomposition, the round-2 default.
+_BEST: dict = {
+    (256, 512, 2): "zfold",    # neck down_1 conv1: 0.79 vs >1.0 ms
+    (512, 512, 1): "zfold",    # neck down_1 conv2 / up_2: 0.58 vs 0.81
+    (512, 1024, 2): "zfold",   # neck down_2 conv1: 0.48 vs ~0.6
+    (128, 18, 1): "zfold",     # head cls convs: 0.41 vs 0.53
+}
 
 
 def conv3d_schedule(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
                     padding=((1, 1), (1, 1), (1, 1))):
-    """Run the 3D conv with the schedule named by NERFDET_TPU_CONV3D."""
-    name = os.environ.get("NERFDET_TPU_CONV3D", "ztap")
+    """Run the 3D conv with the schedule named by NERFDET_TPU_CONV3D
+    (default ``auto``: the measured per-shape winner)."""
+    name = os.environ.get("NERFDET_TPU_CONV3D", "auto")
+    if name == "auto":
+        key = (kernel.shape[-2], kernel.shape[-1], max(strides))
+        name = _BEST.get(key, "ztap")
     return _SCHEDULES[name](x, kernel, strides, _norm_padding(padding))
 
 

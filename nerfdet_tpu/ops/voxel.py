@@ -96,11 +96,21 @@ def project_points(points, projection, height: int, width: int):
 
 
 def _gather_view(features_v, x_v, y_v, valid_v):
-    """Gather (N, C) pixels from one (H, W, C) view, zeroing invalid."""
+    """Gather (N, C) pixels from one (H, W, C) view, zeroing invalid.
+
+    The row index is clipped explicitly, so the gather itself runs in
+    PROMISE_IN_BOUNDS mode: the TPU gather is per-row-dispatch bound
+    (~5.3 ns/row at 256 bf16 channels, width-insensitive — PERF.md
+    round 4) and skipping XLA's implicit clamp recovers ~10%.
+    """
     h, w, c = features_v.shape
     flat = features_v.reshape(h * w, c)
     idx = jnp.clip(y_v, 0, h - 1) * w + jnp.clip(x_v, 0, w - 1)
-    out = jnp.take(flat, idx, axis=0)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    out = jax.lax.gather(
+        flat, idx[:, None], dn, slice_sizes=(1, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
     return out * valid_v[:, None].astype(out.dtype)
 
 
@@ -150,6 +160,81 @@ def backproject_volume(features, points, projection,
     return volume, valid
 
 
+def host_rgb_stats(denorm_imgs, intrinsic, extrinsics, origin,
+                   n_voxels, voxel_size, ori_shape, img_shape,
+                   compute_dtype=np.float32):
+    """Host-side (numpy) twin of the rgb stream of :func:`fused_mean_cov`.
+
+    The rgb statistics the nerf_density global volume needs (per-voxel
+    sum and squared sum of the de-normalized image colors over observing
+    views, `nerfdet.py:239-251` in the reference) are a pure function of
+    the scene GEOMETRY and the input images — no parameters, no
+    gradients. Computing them here, in the data pipeline (the VoteNet
+    host-sampling-chain pattern, PERF.md round 1), removes the per-view
+    full-resolution rgb gather from the device step entirely (~7 ms of
+    the 50-view fusion scan on v5e — it is row-dispatch bound, PERF.md
+    round 4).
+
+    Exactness: projection/rounding are f32 like `project_points`
+    (round-half-to-even in both numpy and jnp); the gathered colors are
+    cast to ``compute_dtype`` (bf16 in the flagship) BEFORE the f32
+    accumulation, matching the device scan bit-for-bit on CPU. On TPU
+    the f32 projection matmul may differ in the last ulp, which can
+    flip an exact half-pixel rounding tie — a per-voxel rgb
+    perturbation bounded by one pixel, with no effect on the detection
+    stream (its count/validity stay on device).
+
+    Returns ``(s1, s2)``: two (N, 3) f32 arrays, N = prod(n_voxels).
+    """
+    import ml_dtypes
+
+    n_voxels = np.asarray(n_voxels)
+    vsz = np.asarray(voxel_size, np.float32)
+    origin = np.asarray(origin, np.float32)
+    idx = np.stack(np.meshgrid(
+        np.arange(n_voxels[0], dtype=np.float32),
+        np.arange(n_voxels[1], dtype=np.float32),
+        np.arange(n_voxels[2], dtype=np.float32), indexing="ij"), axis=-1)
+    new_origin = origin - n_voxels.astype(np.float32) / 2.0 * vsz
+    pts = (idx * vsz + new_origin).reshape(-1, 3)
+
+    h_img, w_img = int(img_shape[0]), int(img_shape[1])
+    ratio = np.float32(ori_shape[0]) / np.float32(h_img)
+    intr = np.asarray(intrinsic, np.float32)[:3, :3].copy()
+    intr[:2] /= ratio
+    proj = np.einsum("ij,vjk->vik", intr,
+                     np.asarray(extrinsics, np.float32)[:, :3, :])
+
+    pts_h = np.concatenate([pts, np.ones_like(pts[:, :1])], axis=-1)
+    cam = np.einsum("vij,nj->vin", proj, pts_h.astype(np.float32),
+                    dtype=np.float32)  # (V, 3, N)
+    z = cam[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        px = np.nan_to_num(cam[:, 0] / z, nan=-1.0, posinf=-1.0,
+                           neginf=-1.0)
+        py = np.nan_to_num(cam[:, 1] / z, nan=-1.0, posinf=-1.0,
+                           neginf=-1.0)
+    x = np.round(px).astype(np.int32)
+    y = np.round(py).astype(np.int32)
+    valid = (x >= 0) & (y >= 0) & (x < w_img) & (y < h_img) & (z > 0)
+
+    np_dtype = (ml_dtypes.bfloat16 if compute_dtype in
+                ("bfloat16", jnp.bfloat16, ml_dtypes.bfloat16)
+                else np.float32)
+    imgs = np.asarray(denorm_imgs, np.float32)
+    v = imgs.shape[0]
+    flat = imgs.reshape(v, -1, 3)
+    lin = (np.clip(y, 0, h_img - 1) * imgs.shape[2]
+           + np.clip(x, 0, w_img - 1))
+    gathered = np.take_along_axis(flat, lin[..., None], axis=1)
+    if np_dtype is not np.float32:
+        # cast-after-gather == cast-before-gather (gathers preserve
+        # values); converting only the gathered rows is ~3x cheaper
+        gathered = gathered.astype(np_dtype).astype(np.float32)
+    gathered *= valid[..., None].astype(np.float32)
+    return gathered.sum(0), (gathered * gathered).sum(0)
+
+
 def fused_mean_cov(features, points, projection,
                    depth: Optional[jnp.ndarray] = None,
                    voxel_size_z: Optional[float] = None,
@@ -160,7 +245,8 @@ def fused_mean_cov(features, points, projection,
                    extra_image_hw: Optional[Tuple[int, int]] = None,
                    axis_name: Optional[str] = None,
                    mapped_kernel: Optional[jnp.ndarray] = None,
-                   mapped_bias: Optional[jnp.ndarray] = None):
+                   mapped_bias: Optional[jnp.ndarray] = None,
+                   precomputed_extra=None):
     """Streaming multi-view fusion: mean, exp(-var), valid count.
 
     Computes, without materialising the (V, N, C) tensor, exactly the
@@ -193,6 +279,15 @@ def fused_mean_cov(features, points, projection,
             unsharded fusion.
 
     Args (cont. 2):
+        precomputed_extra: optional ``(s1e, s2e)`` pair of (N, C_extra)
+            f32 host-precomputed rgb sums (:func:`host_rgb_stats`).
+            The extra stream is parameter-independent (input images x
+            scene geometry), so when the data pipeline ships these the
+            per-view extra gather is dropped from the scan — the
+            device step's rgb cost goes to zero. Requires
+            ``mapped_kernel`` (the flagship nerf_density path). The
+            values are GLOBAL over views: under ``axis_name`` they are
+            used as-is while the device-accumulated sums are psummed.
         mapped_kernel/mapped_bias: fuse the nerf_density "mapped"
             stream into the SAME scan: since the reference's
             ``mapping`` is a 1x1 linear whose invalid-view fill equals
@@ -235,13 +330,27 @@ def fused_mean_cov(features, points, projection,
 
     with_mapped = mapped_kernel is not None
     if with_mapped:
-        assert extra_features is not None
+        assert extra_features is not None or precomputed_extra is not None
         c_map = mapped_kernel.shape[-1]
         w_map = mapped_kernel.astype(jnp.float32)
         b_map = mapped_bias.astype(jnp.float32)
+    if precomputed_extra is not None:
+        assert with_mapped, "precomputed_extra is a nerf_density path"
+        c_extra = precomputed_extra[0].shape[-1]
 
     def body(carry, view):
         if with_mapped:
+            if precomputed_extra is not None:
+                s1, s2, count, s2m = carry
+                f_v, x_v, y_v, valid_v = view
+                contrib = _gather_view(f_v, x_v, y_v, valid_v).astype(
+                    jnp.float32)
+                mapped = contrib @ w_map + b_map
+                s1 = s1 + contrib
+                s2 = s2 + contrib * contrib
+                s2m = s2m + mapped * mapped
+                count = count + valid_v.astype(jnp.float32)
+                return (s1, s2, count, s2m), None
             s1, s2, count, s1e, s2e, s2m = carry
             f_v, x_v, y_v, valid_v, fe_v, xe_v, ye_v, valide_v = view
             contrib = _gather_view(f_v, x_v, y_v, valid_v).astype(
@@ -274,7 +383,12 @@ def fused_mean_cov(features, points, projection,
         return (s1, s2, count), None
 
     count = jnp.zeros((n,), jnp.float32)
-    if with_mapped:
+    if with_mapped and precomputed_extra is not None:
+        init = (jnp.zeros((n, c), jnp.float32),
+                jnp.zeros((n, c), jnp.float32), count,
+                jnp.zeros((n, c_map), jnp.float32))
+        xs = (features, x, y, valid)
+    elif with_mapped:
         init = (jnp.zeros((n, c), jnp.float32),
                 jnp.zeros((n, c), jnp.float32), count,
                 jnp.zeros((n, c_extra), jnp.float32),
@@ -296,9 +410,21 @@ def fused_mean_cov(features, points, projection,
 
     if os.environ.get("NERFDET_TPU_REMAT") == "1":
         body = jax.checkpoint(body)
-    unroll = int(os.environ.get("NERFDET_TPU_SCAN_UNROLL", "1"))
+    # unroll default measured on v5e (PERF.md round 4): the per-view
+    # gathers are row-dispatch bound and unrolling lets XLA overlap
+    # consecutive views' gathers (8 ~= the knee; 1 -> 8 is -9% on the
+    # 50-view fusion scan, flat beyond). On CPU an unrolled body only
+    # inflates compile time (the test suite jits this everywhere), so
+    # the default stays 1 there.
+    default = "8" if jax.default_backend() != "cpu" else "1"
+    unroll = int(os.environ.get("NERFDET_TPU_SCAN_UNROLL", default))
+    unroll = max(1, min(unroll, v))
     carry, _ = jax.lax.scan(body, init, xs, unroll=unroll)
-    if with_mapped:
+    if with_mapped and precomputed_extra is not None:
+        s1, s2, count, s2m = carry
+        s1e = precomputed_extra[0].astype(jnp.float32)
+        s2e = precomputed_extra[1].astype(jnp.float32)
+    elif with_mapped:
         s1, s2, count, s1e, s2e, s2m = carry
     else:
         s1, s2, count = carry
@@ -308,8 +434,10 @@ def fused_mean_cov(features, points, projection,
         s2 = jax.lax.psum(s2, axis_name)
         count = jax.lax.psum(count, axis_name)
         if with_mapped:
-            s1e = jax.lax.psum(s1e, axis_name)
-            s2e = jax.lax.psum(s2e, axis_name)
+            if precomputed_extra is None:
+                # host-precomputed stats are already view-global
+                s1e = jax.lax.psum(s1e, axis_name)
+                s2e = jax.lax.psum(s2e, axis_name)
             s2m = jax.lax.psum(s2m, axis_name)
         v = v * jax.lax.psum(1, axis_name)
 

@@ -30,44 +30,72 @@ import jax.numpy as jnp  # noqa: E402
 
 from nerfdet_tpu.ops import conv3d  # noqa: E402
 
-# flagship FastIndoorImVoxelNeck layer shapes: (D, H, W, Cin, Cout, stride)
+# flagship FastIndoorImVoxelNeck + head layer shapes:
+# (D, H, W, Cin, Cout, stride) — D is the folded (z) axis
 SHAPES = [
-    ("neck_down0", (16, 40, 40, 256, 256, 1)),
-    ("neck_down1_s2", (16, 40, 40, 256, 512, 2)),
-    ("neck_down2_s2", (8, 20, 20, 512, 1024, 2)),
+    ("neck_down0", (16, 40, 40, 256, 256, 1)),       # down_0 conv1/2, up_1
+    ("neck_down1_s2", (16, 40, 40, 256, 512, 2)),    # down_1 conv1
+    ("neck_down1b", (8, 20, 20, 512, 512, 1)),       # down_1 conv2, up_2
+    ("neck_down2_s2", (8, 20, 20, 512, 1024, 2)),    # down_2 conv1
+    ("neck_down2b", (4, 10, 10, 1024, 1024, 1)),     # down_2 conv2
     ("neck_out0", (16, 40, 40, 256, 128, 1)),
+    ("neck_out1", (8, 20, 20, 512, 128, 1)),
+    ("neck_out2", (4, 10, 10, 1024, 128, 1)),
+    ("head_cls0", (16, 40, 40, 128, 18, 1)),
+    ("head_cls1", (8, 20, 20, 128, 18, 1)),
+    ("head_reg0", (16, 40, 40, 128, 6, 1)),
 ]
 TINY = [("tiny", (4, 8, 8, 16, 16, 1))]
 
 
 def bench_one(schedule_fn, shape, dtype, iters: int, warmup: int):
+    """Time one conv via an ON-DEVICE chained fori_loop.
+
+    The axon relay costs ~1.5-3 ms per dispatch, which swamps sub-ms
+    kernels when each iteration is its own executable (the winners
+    flipped between runs under the old per-dispatch loop). Here ONE
+    dispatch runs ``iters`` data-dependent iterations (each conv's
+    input is perturbed by the previous mean, so XLA can neither batch
+    nor elide them); per-iteration time = total / iters.
+    """
     d, h, w, cin, cout, s = shape
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (1, d, h, w, cin), dtype)
     k = jax.random.normal(key, (3, 3, 3, cin, cout), dtype) * 0.02
     strides = (s, s, s)
 
-    @jax.jit
-    def fwd(x, eps):
-        return schedule_fn(x + eps, k, strides).sum()
+    def fwd_once(xx):
+        return schedule_fn(xx, k, strides).mean().astype(dtype)
 
-    @jax.jit
-    def fwdbwd(x, eps):
-        return jax.grad(lambda xx: schedule_fn(xx, k, strides).sum())(
-            x + eps).sum()
+    def fwdbwd_once(xx):
+        # squared sum: a plain sum's gradient is input-independent
+        # (conv is linear), which XLA hoists out of the timing loop
+        g = jax.grad(lambda a: (schedule_fn(a, k, strides)
+                                .astype(jnp.float32) ** 2).sum())(xx)
+        return g.mean().astype(dtype)
+
+    def chain(once):
+        @jax.jit
+        def run(x, n):
+            def body(_, acc):
+                return acc * 1e-6 + once(x + acc * 1e-6)
+            return jax.lax.fori_loop(0, n, body,
+                                     jnp.asarray(0.0, dtype))
+        return run
 
     out = {}
-    for name, fn in (("fwd", fwd), ("fwd+bwd", fwdbwd)):
-        jax.device_get(fn(x, jnp.asarray(0.0, dtype)))
-        for i in range(warmup):
-            fn(x, jnp.asarray(i * 1e-6, dtype))
-        jax.device_get(fn(x, jnp.asarray(0.0, dtype)))
+    for name, once in (("fwd", fwd_once), ("fwd+bwd", fwdbwd_once)):
+        run = chain(once)
+        jax.device_get(run(x, warmup))  # compile + warm
+        jax.device_get(run(x, warmup))
         t0 = time.perf_counter()
-        r = None
-        for i in range(iters):
-            r = fn(x, jnp.asarray(i * 1e-6, dtype))
-        jax.device_get(r)
-        out[name] = (time.perf_counter() - t0) / iters * 1e3
+        jax.device_get(run(x, iters))
+        t1 = time.perf_counter() - t0
+        # subtract the fixed dispatch cost with a second length
+        t0 = time.perf_counter()
+        jax.device_get(run(x, 2 * iters))
+        t2 = time.perf_counter() - t0
+        out[name] = max(t2 - t1, 0.0) / iters * 1e3
     return out
 
 

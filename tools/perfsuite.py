@@ -63,9 +63,25 @@ def _bench_flagship(report):
         pad_hw=meta.pad_shape, n_rand=n_rand, n_boxes=4, max_gt=8,
         margin=10)
     batch = {k: jnp.asarray(v) for k, v in scene.items()}
+    # parameter-independent rgb statistics ship from the data pipeline
+    # (ops/voxel.host_rgb_stats, PERF.md round 4); honesty: report the
+    # 1-core host cost alongside (loader prefetch overlaps it)
+    from nerfdet_tpu.ops.voxel import host_rgb_stats
+
+    hr_args = (scene["denorm_images"], scene["intrinsic"],
+               scene["extrinsics"], scene["origin"], model.n_voxels,
+               model.voxel_size, meta.ori_shape, meta.img_shape)
+    s1, s2 = host_rgb_stats(*hr_args, compute_dtype="bfloat16")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        host_rgb_stats(*hr_args, compute_dtype="bfloat16")
+    report["flagship_host_rgb_stats_ms_per_scene_1core"] = round(
+        (time.perf_counter() - t0) / 3 * 1e3, 1)
+    batch["rgb_s1"] = jnp.asarray(s1)
+    batch["rgb_s2"] = jnp.asarray(s2)
     det_batch = {k: batch[k] for k in
                  ("imgs", "denorm_images", "intrinsic", "extrinsics",
-                  "origin")}
+                  "origin", "rgb_s1", "rgb_s2")}
     params = jax.jit(
         lambda k: model.init(k, batch, train=False, with_rays=True))(
         jax.random.PRNGKey(0))

@@ -40,8 +40,20 @@ def _block_all(tree):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="time grad(sum(stage outputs)) per cumulative "
+                         "prefix instead of the forward — attributes "
+                         "fwd+bwd cost per stage (the real train step "
+                         "additionally pays the NVS render branch and "
+                         "the optimizer; see tools/benchmark.py)")
+    args = ap.parse_args()
     n_views = int(os.environ.get("STAGEPROF_VIEWS", "50"))
     iters = int(os.environ.get("STAGEPROF_ITERS", "20"))
+    if args.train:
+        iters = int(os.environ.get("STAGEPROF_ITERS", "10"))
 
     cfg = Config.fromfile("configs/nerfdet/nerfdet_res50_2x_low_res.py")
     meta = SceneMeta(ori_shape=(968, 1296), img_shape=(239, 320),
@@ -52,6 +64,19 @@ def main():
         pad_hw=(240, 320), n_rand=64, n_boxes=4, max_gt=8, margin=10)
     batch = {k: jnp.asarray(scene[k]) for k in
              ("imgs", "denorm_images", "intrinsic", "extrinsics", "origin")}
+    if os.environ.get("STAGEPROF_DEVICE_RGB") != "1":
+        # production path: the data pipeline ships the rgb statistics
+        # (ops/voxel.host_rgb_stats); set STAGEPROF_DEVICE_RGB=1 to
+        # profile the on-device rgb-gather fallback instead
+        from nerfdet_tpu.ops.voxel import host_rgb_stats
+
+        s1, s2 = host_rgb_stats(
+            scene["denorm_images"], scene["intrinsic"],
+            scene["extrinsics"], scene["origin"], model.n_voxels,
+            model.voxel_size, meta.ori_shape, meta.img_shape,
+            compute_dtype="bfloat16")
+        batch["rgb_s1"] = jnp.asarray(s1)
+        batch["rgb_s2"] = jnp.asarray(s2)
     params = jax.jit(
         lambda k: model.init(k, batch, train=False, with_rays=True))(
         jax.random.PRNGKey(0))
@@ -68,6 +93,8 @@ def main():
                 return _block_all(feats)
             vol = model.apply(variables, feats, b["denorm_images"],
                               b["intrinsic"], b["extrinsics"], b["origin"],
+                              rgb_stats=(None if "rgb_s1" not in b else
+                                         (b["rgb_s1"], b["rgb_s2"])),
                               method=model.build_volume)
             if name == "+fusion":
                 return _block_all(vol)
@@ -83,11 +110,38 @@ def main():
                                         nms_pre, model.n_classes)
         return f
 
+    def as_grad(f):
+        """fwd+bwd twin of a stage prefix: d(prefix sum)/d(params).
+        The scalarized objective keeps every stage array live through
+        the backward, so stage deltas attribute fwd+bwd cost."""
+
+        def g(variables, b, it):
+            def obj(params):
+                out = f({"params": params,
+                         "batch_stats": variables.get("batch_stats", {})},
+                        b, it)
+                return _block_all(out)
+
+            return jax.grad(obj)(variables["params"])
+
+        return g
+
     results = {}
     prev = 0.0
-    for name in ["backbone", "+fusion", "+neckhead", "+topk"]:
-        step = jax.jit(bound(name))
+    stages = ["backbone", "+fusion", "+neckhead"]
+    if not args.train:
+        stages.append("+topk")  # top-k has no params to grad through
+    prev_flops = 0.0
+    for name in stages:
+        fn = bound(name)
+        step = jax.jit(as_grad(fn) if args.train else fn)
         its = [jnp.asarray(i, jnp.int32) for i in range(3 + iters)]
+        flops = 0.0
+        try:
+            flops = float(step.lower(
+                params, batch, its[0]).cost_analysis()["flops"])
+        except Exception:
+            pass
         jax.device_get(jax.tree.leaves(step(params, batch, its[0])))
         for i in range(3):
             jax.device_get(jax.tree.leaves(step(params, batch, its[i])))
@@ -96,9 +150,16 @@ def main():
         jax.device_get(jax.tree.leaves(outs[-1]))
         dt = (time.perf_counter() - t0) / iters * 1e3
         results[name] = round(dt, 2)
+        d_fl = flops - prev_flops
+        d_ms = dt - prev
+        # per-stage achieved FLOP/s — against the chip's bf16 peak this
+        # is the stage's MFU (which stage is compute- vs dispatch-bound)
+        tflops = (d_fl / (d_ms * 1e-3)) / 1e12 if d_ms > 0 else 0.0
+        results[name + "_gflops"] = round(d_fl / 1e9, 1)
         print(f"{name:10s} cumulative {dt:7.2f} ms  "
-              f"(delta {dt - prev:+7.2f} ms)", flush=True)
-        prev = dt
+              f"(delta {d_ms:+7.2f} ms, {d_fl / 1e9:7.1f} GFLOP, "
+              f"{tflops:6.1f} TFLOP/s)", flush=True)
+        prev, prev_flops = dt, flops
     print(json.dumps(results))
 
 

@@ -132,8 +132,12 @@ def main():
         return
 
     use_depth = cfg.get("input_modality", {}).get("use_depth", False)
+    from nerfdet_tpu.data.dataset import rgb_stats_spec_from_config
+
     dataset = build_dataset(cfg.data["test"], test_mode=True,
-                            use_depth=use_depth)
+                            use_depth=use_depth,
+                            rgb_stats_spec=rgb_stats_spec_from_config(
+                                cfg, use_depth=use_depth))
     if args.max_scenes:
         dataset.data_infos = dataset.data_infos[: args.max_scenes]
 

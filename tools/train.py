@@ -315,8 +315,15 @@ def main():
     # ---- data ---------------------------------------------------------
     use_depth = cfg.model.get("depth_supervise", False) or cfg.get(
         "input_modality", {}).get("use_depth", False)
+    use_bf16 = bool(args.bf16 or cfg.get('bf16')
+                    or cfg.get('fp16') is not None)
+    from nerfdet_tpu.data.dataset import rgb_stats_spec_from_config
+
+    stats_spec = rgb_stats_spec_from_config(cfg, use_depth=use_depth,
+                                            bf16=use_bf16)
     dataset = build_dataset(cfg.data["train"], use_depth=use_depth,
-                            n_rand=cfg.model.get("N_rand", 2048))
+                            n_rand=cfg.model.get("N_rand", 2048),
+                            rgb_stats_spec=stats_spec)
     batch_size = args.batch_size or max(
         1, jax.local_device_count() // args.mesh_views)
     loader = BatchLoader(
@@ -333,9 +340,7 @@ def main():
     meta = scene_meta_from_config(cfg)
     model = build_model(
         cfg.model, meta=meta,
-        compute_dtype=jnp.bfloat16 if (args.bf16 or cfg.get('bf16') or
-                                       cfg.get('fp16') is not None)
-        else jnp.float32)
+        compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     sample_scene = dataset[0]
     rng = jax.random.PRNGKey(args.seed)
     init_scene = {k: jnp.asarray(v) for k, v in sample_scene.items()}
@@ -404,7 +409,8 @@ def main():
     val_dataset = None
     if not args.no_validate:
         val_dataset = build_dataset(cfg.data["val"], test_mode=True,
-                                    use_depth=use_depth)
+                                    use_depth=use_depth,
+                                    rgb_stats_spec=stats_spec)
 
     # ---- loop ---------------------------------------------------------
     with mesh:
