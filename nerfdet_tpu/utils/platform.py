@@ -24,3 +24,22 @@ def honor_jax_platforms_env() -> None:
 
     if jax.config.jax_platforms != plats:
         jax.config.update("jax_platforms", plats)
+
+
+def xla_flops(lowered) -> float:
+    """XLA-counted FLOPs of a ``jit(...).lower(...)`` program, or 0.0.
+
+    ``Lowered.cost_analysis()`` returns ``None`` on some PJRT plugins
+    (the axon TPU relay among them); the post-compile analysis on the
+    executable is the reliable path there. Older jax versions return a
+    one-dict list from ``Compiled.cost_analysis()``.
+    """
+    try:
+        ca = lowered.cost_analysis()
+        if ca is None:
+            ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        return float(ca["flops"]) if ca and "flops" in ca else 0.0
+    except Exception:
+        return 0.0

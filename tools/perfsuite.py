@@ -114,15 +114,16 @@ def _bench_flagship(report):
     # The flagship is gather/BW-bound, not matmul-bound (PERF.md), so
     # low MFU here is expected; the number exists to anchor "how far
     # from the compute roofline" each round actually is.
-    try:
-        flops = step.lower(
-            params, det_batch, jnp.float32(0.0)).cost_analysis()["flops"]
-        report["det_flops_per_scene"] = float(flops)
+    from nerfdet_tpu.utils.platform import xla_flops
+
+    flops = xla_flops(step.lower(params, det_batch, jnp.float32(0.0)))
+    if flops:
+        report["det_flops_per_scene"] = flops
         peak = _chip_peak_flops(jax.devices()[0])
         if peak:
             report["det_mfu_pct"] = round(100.0 * flops * rate / peak, 2)
-    except Exception as e:  # cost analysis is backend-dependent
-        report["det_mfu_error"] = repr(e)[:120]
+    else:  # cost analysis unavailable on this backend
+        report["det_mfu_error"] = "cost_analysis unavailable"
 
     # ---- train step ----
     from nerfdet_tpu.train import TrainState, build_optimizer

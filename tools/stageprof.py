@@ -136,12 +136,9 @@ def main():
         fn = bound(name)
         step = jax.jit(as_grad(fn) if args.train else fn)
         its = [jnp.asarray(i, jnp.int32) for i in range(3 + iters)]
-        flops = 0.0
-        try:
-            flops = float(step.lower(
-                params, batch, its[0]).cost_analysis()["flops"])
-        except Exception:
-            pass
+        from nerfdet_tpu.utils.platform import xla_flops
+
+        flops = xla_flops(step.lower(params, batch, its[0]))
         jax.device_get(jax.tree.leaves(step(params, batch, its[0])))
         for i in range(3):
             jax.device_get(jax.tree.leaves(step(params, batch, its[i])))
