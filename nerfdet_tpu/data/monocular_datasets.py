@@ -113,10 +113,36 @@ class KittiStereoDataset(KittiDataset):
 
 class NuScenesMultiViewDataset(NuScenesDataset):
     """Surround 6-camera adapter; GT reduced to yaw-only car boxes
-    (reference `nuscenes_monocular_dataset.py:10-41`)."""
+    (reference `nuscenes_monocular_dataset.py:10-41`).
+
+    Consumes the standard ``{prefix}_infos_*.pkl`` (like the
+    reference class) OR the monocular converter's
+    ``{prefix}_multi_view_infos_*.pkl``
+    (`nuscenes_monocular_converter.py:143-150` schema: per-sample
+    ``images`` list with ``calib.{intrinsic,extrinsic,global}``; the
+    stored ``extrinsic`` is the depth->cam rotation transposed and
+    ``global`` the world shift, so the 4x4 here is
+    ``K @ [R | R @ global]``)."""
 
     def get_data_info(self, index: int) -> Dict:
         info = self.data_infos[index]
+        if "images" in info:  # monocular-converter multi_view schema
+            img_files, extrinsics = [], []
+            for rec in info["images"]:
+                img_files.append(rec["image"]["image_path"])
+                r = np.asarray(rec["calib"]["extrinsic"], np.float64).T
+                e = np.eye(4, dtype=np.float64)
+                e[:3, :3] = r
+                e[:3, 3] = r @ np.asarray(rec["calib"]["global"],
+                                          np.float64)
+                k = np.eye(4, dtype=np.float64)
+                k[:3, :3] = np.asarray(rec["calib"]["intrinsic"],
+                                       np.float64)
+                extrinsics.append((k @ e).astype(np.float32))
+            return dict(sample_idx=info["token"],
+                        img_filename=img_files,
+                        lidar2img=extrinsics,
+                        intrinsic=np.eye(4, dtype=np.float32))
         cams = info.get("cams", {})
         img_files, extrinsics = [], []
         for cam_info in cams.values():

@@ -84,9 +84,14 @@ class NuScenesDataset:
 
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
-        infos = sorted(data["infos"], key=lambda e: e["timestamp"])
+        if isinstance(data, list):
+            # monocular-converter pkls are bare info lists in sample
+            # order (`nuscenes_monocular_converter.py:36-41`)
+            infos, self.metadata = data, {}
+        else:
+            infos = sorted(data["infos"], key=lambda e: e["timestamp"])
+            self.metadata = data.get("metadata", {})
         self.data_infos = infos[::load_interval]
-        self.metadata = data.get("metadata", {})
         self.transforms = build_points_pipeline(pipeline)
         # multi-sweep settings may also come in via the pipeline cfg
         for stage in pipeline:

@@ -420,6 +420,160 @@ def create_nuscenes_infos(root_path: str,
     return written
 
 
+# axis swap used by the reference's Lidar -> Depth monocular export
+# (`nuscenes_monocular_converter.py:77`): depth = A @ lidar/global.
+_LIDAR2DEPTH = np.array([[0.0, -1.0, 0.0],
+                         [1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0]])
+
+
+def _monocular_camera_geometry(tables: RawTables, sd_rec: dict):
+    """(R_ext, t_ext): the reference's per-camera ``rotation`` /
+    ``translation`` pair (`nuscenes_monocular_converter.py:75-82`).
+
+    ``x_cam = R_ext @ x_depth + t_ext`` where the depth frame is the
+    global frame under the Lidar->Depth axis swap; the info pkl stores
+    ``extrinsic = R_ext.T`` and shifts every box by ``R_ext.T @ t_ext``
+    so projection needs the rotation only.
+    """
+    cs = tables.get("calibrated_sensor", sd_rec["calibrated_sensor_token"])
+    pose = tables.get("ego_pose", sd_rec["ego_pose_token"])
+    r_cs_t = quat_rotmat(cs["rotation"]).T
+    r_pose_t = quat_rotmat(pose["rotation"]).T
+    rotation = r_cs_t @ r_pose_t @ _LIDAR2DEPTH.T
+    translation = (r_cs_t @ r_pose_t @ -np.asarray(pose["translation"])
+                   + r_cs_t @ -np.asarray(cs["translation"]))
+    return rotation, translation
+
+
+def _monocular_boxes(tables: RawTables, sample: dict, sd_rec: dict,
+                     cam_intrinsic: np.ndarray, width: int, height: int,
+                     class_names: Dict[str, int],
+                     name_mapping: Dict[str, str]):
+    """Per-camera depth-mode GT boxes with the reference's visibility
+    filter (`nuscenes_monocular_converter.py:84-127`): keep a box when
+    its camera-frame center is >0.1 m in front AND its projection lands
+    inside the image AND the raw name maps to a detection class.
+    """
+    rotation, translation = _monocular_camera_geometry(tables, sd_rec)
+    shift = rotation.T @ translation
+    boxes, classes = [], []
+    for ann_token in sample["anns"]:
+        ann = tables.get("sample_annotation", ann_token)
+        name = tables.ann_name(ann_token)
+        c_cam, _, _ = tables.box_in_sensor_frame(ann, sd_rec)
+        if c_cam[2] <= 0.1 or name not in name_mapping:
+            continue
+        uvw = cam_intrinsic @ c_cam
+        u, v = uvw[:2] / uvw[2]
+        if not (0 < u < width and 0 < v < height):
+            continue
+        g = np.asarray(ann["translation"], np.float64)     # global gravity
+        w_, l_, h_ = (float(x) for x in ann["size"])       # nuScenes wlh
+        yaw_g = quat_yaw(ann["rotation"])
+        center = _LIDAR2DEPTH @ g + shift
+        # LIDAR->DEPTH keeps yaw; the SECOND convention applied first
+        # (`:88-90`) makes it -yaw_global - pi/2. Dims swap to (l, w, h)
+        # (`box_3d_mode.py:124-126`).
+        boxes.append(np.concatenate(
+            [center, [l_, w_, h_, -yaw_g - np.pi / 2]]))
+        classes.append(class_names[name_mapping[name]])
+    return boxes, classes, rotation, translation
+
+
+def create_nuscenes_monocular_infos(
+        root_path: str,
+        info_prefix: str = "nuscenes",
+        version: str = "v1.0-mini",
+        train_scenes: Union[None, str, Sequence[str]] = None,
+        val_scenes: Union[None, str, Sequence[str]] = None,
+        out_dir: Optional[str] = None) -> List[str]:
+    """Raw nuScenes -> monocular + surround-multi-view info pkls.
+
+    Devkit-free twin of the reference
+    ``create_nuscenes_monocular_infos``
+    (`tools/data_converter/nuscenes_monocular_converter.py:13-153`):
+    per camera image, GT boxes are exported in DEPTH mode, gravity-
+    centered, shifted by ``extrinsic @ translation`` so the stored
+    ``calib.extrinsic`` rotation alone projects them; the multi-view
+    pkls carry the six per-sample camera records (image + calib +
+    ``global`` shift) with no annotations, exactly like the reference.
+    Scene-split semantics also match: samples NOT in the train split go
+    to val (the reference never filters val by name).
+    """
+    from .nuscenes_dataset import NuScenesDataset
+
+    tables = RawTables(os.path.join(root_path, version))
+    out_dir = out_dir or root_path
+    if version == "v1.0-mini":
+        train_names = _resolve_split(train_scenes, MINI_TRAIN)
+    elif train_scenes is None:
+        raise ValueError(
+            "v1.0-trainval needs an explicit train split: the official "
+            "700-scene list ships with the devkit, not the raw data. "
+            "Pass train_scenes= (list or txt file).")
+    else:
+        train_names = _resolve_split(train_scenes, ())
+    del val_scenes  # reference semantics: val = everything not in train
+    # available-scene filter (reference `:20-28`): keep a train scene
+    # only when its first keyframe lidar file exists on disk
+    available = set()
+    for scene in tables.scene:
+        samp = tables.get("sample", scene["first_sample_token"])
+        sd = tables.get("sample_data", samp["data"]["LIDAR_TOP"])
+        if os.path.isfile(os.path.join(root_path,
+                                       tables.data_path(root_path, sd))):
+            available.add(scene["name"])
+    train_tokens = _scene_tokens(tables, [n for n in train_names
+                                          if n in available])
+    class_names = {n: i for i, n in enumerate(NuScenesDataset.CLASSES)}
+
+    mono = {True: [], False: []}
+    multi = {True: [], False: []}
+    for sample in tables.sample:
+        is_train = sample["scene_token"] in train_tokens
+        multi[is_train].append(dict(token=sample["token"], images=[]))
+        for cam in CAMERA_TYPES:
+            if cam not in sample["data"]:
+                continue
+            sd_rec = tables.get("sample_data", sample["data"][cam])
+            cs = tables.get("calibrated_sensor",
+                            sd_rec["calibrated_sensor_token"])
+            intrinsic = np.asarray(cs["camera_intrinsic"], np.float64)
+            width = int(sd_rec.get("width", 1600))
+            height = int(sd_rec.get("height", 900))
+            boxes, classes, rotation, translation = _monocular_boxes(
+                tables, sample, sd_rec, intrinsic, width, height,
+                class_names, NuScenesDataset.NameMapping)
+            info = dict(
+                annos=dict(
+                    gt_boxes_upright_depth=np.asarray(
+                        boxes, np.float64).reshape(-1, 7),
+                    **{"class": np.asarray(classes, np.int64)},
+                    gt_num=len(classes)),
+                image=dict(image_path=tables.data_path(root_path, sd_rec)),
+                calib=dict(intrinsic=intrinsic, extrinsic=rotation.T))
+            multi[is_train][-1]["images"].append(dict(
+                image=info["image"],
+                calib=dict(intrinsic=intrinsic, extrinsic=rotation.T,
+                           **{"global": rotation.T @ translation})))
+            mono[is_train].append(info)
+
+    def _dump_list(obj, name):
+        path = os.path.join(out_dir, f"{info_prefix}_{name}.pkl")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+        return path
+
+    return [
+        _dump_list(mono[True], "monocular_infos_train"),
+        _dump_list(mono[False], "monocular_infos_val"),
+        _dump_list(multi[True], "multi_view_infos_train"),
+        _dump_list(multi[False], "multi_view_infos_val"),
+    ]
+
+
 def yaw_quat(yaw: float) -> List[float]:
     return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
 
@@ -467,11 +621,17 @@ def write_synthetic_nuscenes_raw(root: str, version: str = "v1.0-mini",
                     rotation=yaw_quat(0.35), camera_intrinsic=[])
     t["calibrated_sensor"].append(lidar_cs)
     K = [[1266.4, 0.0, 816.3], [0.0, 1266.4, 491.5], [0.0, 0.0, 1.0]]
+    # proper camera orientation (z forward, y down): ego->cam0 base
+    # rotation [[0,0,1],[-1,0,0],[0,-1,0]] as a quaternion, yawed to
+    # point each camera outward at azimuth i*60 deg
+    q_cam0 = (0.5, -0.5, 0.5, -0.5)
     for i, cam in enumerate(CAMERA_TYPES):
         t["calibrated_sensor"].append(dict(
             token=f"cs_{cam}", sensor_token=f"sens_{cam}",
             translation=[1.5, 0.1 * i, 1.6],
-            rotation=yaw_quat(i * np.pi / 3), camera_intrinsic=K))
+            rotation=quat_mul(yaw_quat(i * np.pi / 3),
+                              q_cam0).tolist(),
+            camera_intrinsic=K))
 
     ego_v = np.array([2.0, 0.5, 0.0])          # ego m/s, global frame
     car_v = np.array([-1.0, 0.8, 0.0])         # car m/s, global frame
@@ -545,6 +705,7 @@ def write_synthetic_nuscenes_raw(root: str, version: str = "v1.0-mini",
                     filename=os.path.join("samples", cam,
                                           f"{prefix}_{i}.jpg"),
                     fileformat="jpg", is_key_frame=True,
+                    width=1600, height=900,
                     timestamp=ts, prev="", next=""))
 
             for kind, pos0, vel, size, yaw0 in (

@@ -320,6 +320,167 @@ def write_synthetic_sunrgbd_raw(root: str, n_frames: int = 3,
     return root
 
 
+# the 33-class Total3DUnderstanding (NYU-37 subset) label set
+# (`tools/data_converter/sunrgbd_total.py:8-13`)
+CLASSES_TOTAL = (
+    "cabinet", "bed", "chair", "sofa", "table", "door", "window",
+    "bookshelf", "picture", "counter", "blinds", "desk", "shelves",
+    "curtain", "dresser", "pillow", "mirror", "clothes", "books",
+    "fridge", "tv", "paper", "towel", "shower_curtain", "box",
+    "whiteboard", "person", "night_stand", "toilet", "sink", "lamp",
+    "bathtub", "bag")
+
+# Total3DUnderstanding's world -> camera axis permutation
+# (`sunrgbd_total.py:35`)
+_TOTAL3D_T = np.array([[0.0, 0.0, 1.0],
+                       [0.0, -1.0, 0.0],
+                       [-1.0, 0.0, 0.0]])
+
+
+def _total_rt(rot_mat: np.ndarray) -> np.ndarray:
+    """Reference `sunrgbd_total.py:34-43`: Total3D rot_mat -> the info
+    pkl's ``Rt`` — camera axes permuted, columns reordered to
+    DepthInstance3DBoxes convention, then the inverse of
+    ``SunRgbdMonocularDataset._get_matrices``'s column swap/negation
+    baked in so the dataset class undoes it on load."""
+    r = _TOTAL3D_T @ np.asarray(rot_mat, np.float64).T
+    r = r[:, [2, 0, 1]]
+    r[2] *= -1.0
+    r = r.T
+    r[:, 1] = -r[:, 1]
+    r[:, [1, 2]] = r[:, [2, 1]]
+    return r
+
+
+def _total_angles(rot_mat: np.ndarray) -> np.ndarray:
+    """(pitch, roll) with the reference's yaw==0 sanity check
+    (`sunrgbd_total.py:28-32`)."""
+    r = np.asarray(rot_mat, np.float64)
+    yaw = np.arctan(-r[2][0] / r[0][0])
+    pitch = np.arctan(r[1][0] / np.sqrt(r[0][0] ** 2 + r[2][0] ** 2))
+    roll = np.arctan(-r[1][2] / r[1][1])
+    assert np.isclose(yaw, 0.0), f"non-zero camera yaw {yaw}"
+    return np.array([pitch, roll])
+
+
+def convert_sunrgbd_total(json_path: str,
+                          out_path: Optional[str] = None) -> str:
+    """Total3DUnderstanding COCO-style json -> SUNRGBD-total info pkl.
+
+    SDK-free twin of `tools/data_converter/sunrgbd_total.py:16-84`:
+    per image, the camera ``K`` is stored transposed, ``Rt`` via
+    :func:`_total_rt`, the room layout box and (pitch, roll) angles are
+    exported for the LayoutHead, and every annotation's (center, size,
+    angle) is permuted from Total3D (y-up) order to upright-depth
+    ``(z, x, y)`` with the angle negated. Consumed by
+    ``SunRgbdTotalMultiViewDataset``.
+    """
+    import json as jsonlib
+
+    with open(json_path) as f:
+        data = jsonlib.load(f)
+    categories = {}
+    for cat in data["categories"]:
+        if cat["name"] in CLASSES_TOTAL:
+            categories[cat["id"]] = CLASSES_TOTAL.index(cat["name"])
+    assert len(categories) == len(CLASSES_TOTAL), (
+        f"json categories cover {len(categories)}/{len(CLASSES_TOTAL)} "
+        "Total3D classes")
+    by_image: Dict[int, List[dict]] = {}
+    for ann in data["annotations"]:
+        by_image.setdefault(ann["image_id"], []).append(ann)
+
+    infos = []
+    for image_data in data["images"]:
+        rot = np.asarray(image_data["rot_mat"], np.float64)
+        center = image_data["room_center"]
+        size = image_data["room_size"]
+        info = dict(
+            image=dict(image_path=os.path.join(
+                "OFFICIAL_SUNRGBD", image_data["file_name"])),
+            calib=dict(K=np.asarray(image_data["K"], np.float64).T,
+                       Rt=_total_rt(rot)),
+            layout=np.array([center[2], center[0], center[1],
+                             size[2], size[0], size[1],
+                             -image_data["room_angle"]]),
+            angles=_total_angles(rot),
+        )
+        classes, boxes = [], []
+        for ann in by_image.get(image_data["id"], ()):
+            if ann["category_id"] not in categories:
+                continue
+            classes.append(categories[ann["category_id"]])
+            c, s = ann["center"], ann["size"]
+            boxes.append([c[2], c[0], c[1], s[2], s[0], s[1],
+                          -ann["angle"]])
+        info["annos"] = dict(
+            gt_num=len(classes),
+            gt_boxes_upright_depth=np.asarray(
+                boxes, np.float64).reshape(-1, 7),
+            **{"class": np.asarray(classes, np.int64)})
+        infos.append(info)
+
+    out_path = out_path or json_path.replace(".json", ".pkl")
+    with open(out_path, "wb") as f:
+        pickle.dump(infos, f)
+    print(f"[sunrgbd_total] {len(infos)} images -> {out_path}")
+    return out_path
+
+
+def write_synthetic_sunrgbd_total(root: str, n_images: int = 3,
+                                  splits: Sequence[str] = ("train", "val"),
+                                  hw=(30, 40), seed: int = 0) -> List[str]:
+    """Synthetic Total3DUnderstanding COCO-json fixture (+ images) for
+    the converter tests. Camera rot_mats are built as
+    ``Rz(pitch) @ Rx(roll)`` so the reference's yaw-free decomposition
+    recovers (pitch, roll) exactly."""
+    import json as jsonlib
+
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    written = []
+    for si, split in enumerate(splits):
+        images, annotations = [], []
+        for i in range(n_images):
+            img_rel = os.path.join("kv1", "NYUdata",
+                                   f"img_{split}_{i}.jpg")
+            img_dir = os.path.join(root, "OFFICIAL_SUNRGBD",
+                                   os.path.dirname(img_rel))
+            os.makedirs(img_dir, exist_ok=True)
+            _write_jpg(os.path.join(root, "OFFICIAL_SUNRGBD", img_rel),
+                       rng.randint(0, 255, (h, w, 3), np.uint8))
+            pitch = rng.uniform(-0.3, 0.3)
+            roll = rng.uniform(-0.1, 0.1)
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            cr, sr = np.cos(roll), np.sin(roll)
+            rot = (np.array([[cp, -sp, 0], [sp, cp, 0], [0, 0, 1.0]])
+                   @ np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]]))
+            images.append(dict(
+                id=1000 * si + i, file_name=img_rel,
+                K=[[200.0, 0, 0], [0, 200.0, 0],
+                   [w / 2.0, h / 2.0, 1.0]],
+                rot_mat=rot.tolist(),
+                room_center=rng.uniform(-1, 1, 3).tolist(),
+                room_size=rng.uniform(2, 6, 3).tolist(),
+                room_angle=float(rng.uniform(-0.5, 0.5))))
+            for _ in range(int(rng.randint(1, 4))):
+                annotations.append(dict(
+                    id=len(annotations), image_id=1000 * si + i,
+                    category_id=int(rng.randint(0, len(CLASSES_TOTAL))),
+                    center=rng.uniform(-2, 2, 3).tolist(),
+                    size=rng.uniform(0.2, 1.5, 3).tolist(),
+                    angle=float(rng.uniform(-np.pi, np.pi))))
+        doc = dict(
+            images=images, annotations=annotations,
+            categories=[dict(id=k, name=n)
+                        for k, n in enumerate(CLASSES_TOTAL)])
+        path = os.path.join(root, f"sunrgbd_total_infos_{split}.json")
+        with open(path, "w") as f:
+            jsonlib.dump(doc, f)
+        written.append(path)
+    return written
+
+
 def _write_jpg(path: str, img: np.ndarray):
     try:
         import cv2

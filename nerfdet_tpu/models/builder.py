@@ -256,6 +256,32 @@ def _build_centerpoint(cfg: dict, meta: SceneMeta = None,
     return build_centerpoint(cfg, compute_dtype=compute_dtype)[0]
 
 
+# 2D instance-segmentation stacks (configs/nuimages/*): the reference
+# trains these with EXTERNAL mmdet models on the nuImages COCO export.
+# This framework ships the complete data path (data/nuimages_etl.py)
+# and the config surface, but scopes the 2D model stacks out of its 3D
+# scope (docs/migration.md "nuimages") — building one raises the
+# documented decision instead of a generic unknown-type error.
+SCOPED_OUT_2D_MSG = (
+    "{name} is a 2D instance-segmentation model the reference delegates "
+    "to external mmdet (configs/nuimages/*). This framework scopes 2D "
+    "instance segmentation out: the nuImages DATA path is complete "
+    "(tools/create_data.py nuimages -> COCO json, "
+    "data/nuimages_etl.py), so any 2D stack can consume the export. "
+    "See docs/migration.md, section 'nuimages'.")
+
+
+def _register_scoped_out_2d(name: str):
+    @register_model(name)
+    def _scoped(cfg: dict, meta: SceneMeta = None,
+                compute_dtype=jnp.float32):
+        raise NotImplementedError(SCOPED_OUT_2D_MSG.format(name=name))
+
+
+for _name in ("MaskRCNN", "CascadeRCNN", "HybridTaskCascade"):
+    _register_scoped_out_2d(_name)
+
+
 def build_model(model_cfg: dict, meta: SceneMeta = None,
                 compute_dtype=jnp.float32):
     """Construct a model module from a config ``model`` dict."""

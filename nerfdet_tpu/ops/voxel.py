@@ -235,6 +235,35 @@ def host_rgb_stats(denorm_imgs, intrinsic, extrinsics, origin,
     return gathered.sum(0), (gathered * gathered).sum(0)
 
 
+def device_rgb_stats(denorm_imgs, intrinsic, extrinsics, origin,
+                     n_voxels, voxel_size, ori_shape, img_shape,
+                     compute_dtype=jnp.float32):
+    """On-device twin of :func:`host_rgb_stats` (jit it).
+
+    Uses the SAME device projection code path as the fusion scan
+    (:func:`project_points`), so comparing its output against the host
+    pipeline's continuously measures the documented TPU tie-break
+    caveat (see the Exactness paragraph of :func:`host_rgb_stats`):
+    perfsuite reports ``flagship_host_vs_device_rgb_stats_max_delta``
+    from exactly this pair. Returns ``(s1, s2)``, (N, 3) f32.
+    """
+    h_img, w_img = int(img_shape[0]), int(img_shape[1])
+    ratio = float(ori_shape[0]) / float(h_img)
+    points = get_points(n_voxels, voxel_size, origin).reshape(-1, 3)
+    proj = compute_projection(intrinsic, extrinsics, ratio)
+    x, y, z, valid = project_points(points, proj, h_img, w_img)
+    imgs = jnp.asarray(denorm_imgs, jnp.float32)
+    v = imgs.shape[0]
+    flat = imgs.reshape(v, -1, 3)
+    lin = (jnp.clip(y, 0, h_img - 1) * imgs.shape[2]
+           + jnp.clip(x, 0, w_img - 1))
+    gathered = jnp.take_along_axis(flat, lin[..., None], axis=1)
+    if compute_dtype not in (jnp.float32, "float32", np.float32):
+        gathered = gathered.astype(compute_dtype).astype(jnp.float32)
+    gathered = gathered * valid[..., None].astype(jnp.float32)
+    return gathered.sum(0), (gathered * gathered).sum(0)
+
+
 def fused_mean_cov(features, points, projection,
                    depth: Optional[jnp.ndarray] = None,
                    voxel_size_z: Optional[float] = None,

@@ -6,6 +6,9 @@ import os
 
 import pytest
 
+# single-core smoke tier: flagship-path signal in <10 min (README)
+pytestmark = pytest.mark.smoke
+
 CONFIGS = sorted(glob.glob(os.path.join(
     os.path.dirname(__file__), "..", "configs", "**", "*.py"),
     recursive=True))
@@ -26,6 +29,17 @@ def test_config_builds_model(path):
 
     cfg = Config.fromfile(path)
     assert "model" in cfg and "data" in cfg and "optimizer" in cfg
+    if os.sep + "nuimages" + os.sep in path:
+        # config-surface parity only: 2D instance-segmentation stacks
+        # are scoped out — building must raise the documented decision
+        # (models/builder.py SCOPED_OUT_2D_MSG)
+        assert cfg.model["type"] in ("MaskRCNN", "CascadeRCNN",
+                                     "HybridTaskCascade")
+        assert cfg.data["train"]["type"] == "CocoDataset"
+        assert len(cfg.class_names) == 10
+        with pytest.raises(NotImplementedError, match="nuimages"):
+            build_model(cfg.model)
+        return
     if cfg.model["type"] in ("VoxelNet", "DynamicVoxelNet"):
         model = build_model(cfg.model)
         assert model.bbox_head.num_classes == len(cfg.class_names)

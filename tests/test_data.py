@@ -16,6 +16,9 @@ from nerfdet_tpu.data import (MultiViewPipeline, ScanNetMultiViewDataset,
                               make_synthetic_scene, write_synthetic_scannet)
 from nerfdet_tpu.data.pipeline import impad, pad_gt
 
+# single-core smoke tier: flagship-path signal in <10 min (README)
+pytestmark = pytest.mark.smoke
+
 
 def test_resize_keep_ratio_matches_reference_geometry():
     """968x1296 -> (320, 240) bound gives 239x320 (the low-res config)."""

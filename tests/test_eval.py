@@ -5,9 +5,13 @@ Inputs and expected values mirror the reference's own golden test
 runs everywhere here.
 """
 
+import pytest
 import numpy as np
 
 from nerfdet_tpu.core import DepthBoxes3D, average_precision, indoor_eval
+
+# single-core smoke tier: flagship-path signal in <10 min (README)
+pytestmark = pytest.mark.smoke
 
 
 DET_BOXES = np.array([

@@ -23,6 +23,9 @@ from nerfdet_tpu.ops.voxel import (compute_projection, fused_mean_cov,
                                    get_points, host_rgb_stats,
                                    project_points)
 
+# single-core smoke tier: flagship-path signal in <10 min (README)
+pytestmark = pytest.mark.smoke
+
 N_VOX = (8, 8, 4)
 VSZ = (0.6, 0.6, 0.5)
 HW = (31, 40)
@@ -158,3 +161,31 @@ def test_dataset_ships_stats_and_model_agrees(tmp_path):
     np.testing.assert_allclose(np.asarray(render_a["rgb"]),
                                np.asarray(render_b["rgb"]),
                                rtol=0, atol=2e-5)
+
+
+def test_device_twin_bitwise_on_cpu():
+    """`device_rgb_stats` (the perfsuite honesty-key probe) vs the host
+    pipeline on CPU: the sums are bitwise-equal in both dtypes; the f32
+    squared-sum is within 2 ulp (XLA fuses the x*x multiply into the
+    reduction as an FMA, numpy rounds the product first). In the
+    flagship's bf16 dtype both stats are bitwise-equal — the squares of
+    bf16-cast values and their few-term sums are exact in f32."""
+    from nerfdet_tpu.ops.voxel import device_rgb_stats
+
+    scene = _scene(seed=3, n_views=4)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        s1_h, s2_h = host_rgb_stats(
+            scene["denorm_images"], scene["intrinsic"],
+            scene["extrinsics"], scene["origin"], N_VOX, VSZ, ORI, HW,
+            compute_dtype=("bfloat16" if dtype == jnp.bfloat16
+                           else np.float32))
+        d1, d2 = jax.jit(lambda im, k, e, o, dt=dtype: device_rgb_stats(
+            im, k, e, o, N_VOX, VSZ, ORI, HW, compute_dtype=dt))(
+            scene["denorm_images"], scene["intrinsic"],
+            scene["extrinsics"], scene["origin"])
+        np.testing.assert_array_equal(np.asarray(d1), s1_h)
+        if dtype == jnp.bfloat16:
+            np.testing.assert_array_equal(np.asarray(d2), s2_h)
+        else:
+            np.testing.assert_allclose(np.asarray(d2), s2_h,
+                                       rtol=3e-7, atol=0)

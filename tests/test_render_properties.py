@@ -7,9 +7,13 @@ and compositing invariants.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfdet_tpu.ops.render import (raw2outputs, render_rays_full,
                                     sample_along_camera_ray)
+
+# single-core smoke tier: flagship-path signal in <10 min (README)
+pytestmark = pytest.mark.smoke
 
 
 def _raw(rng, r, s):

@@ -17,6 +17,9 @@ from nerfdet_tpu.train import (TrainState, build_lr_schedule,
 from nerfdet_tpu.train.optim import is_frozen_backbone_param, param_labels
 from nerfdet_tpu.train.step import make_mesh, replicate, shard_batch
 
+# single-core smoke tier: flagship-path signal in <10 min (README)
+pytestmark = pytest.mark.smoke
+
 
 def tiny_model(**kw):
     return NerfDet(

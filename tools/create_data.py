@@ -23,11 +23,13 @@ def main():
     p = argparse.ArgumentParser(description="Data converter")
     p.add_argument("dataset",
                    choices=["scannet", "sunrgbd", "sunrgbd_monocular",
-                            "kitti", "nuscenes", "nuimages", "lyft",
+                            "sunrgbd_total", "kitti", "nuscenes",
+                            "nuscenes_monocular", "nuimages", "lyft",
                             "waymo", "synthetic", "synthetic-kitti",
                             "synthetic-nuscenes",
                             "synthetic-nuscenes-raw",
-                            "synthetic-sunrgbd-raw", "gt-database"])
+                            "synthetic-sunrgbd-raw",
+                            "synthetic-sunrgbd-total", "gt-database"])
     p.add_argument("--use-v1", action="store_true",
                    help="sunrgbd: use the v1 label set")
     p.add_argument("--num-points", type=int, default=None,
@@ -77,6 +79,23 @@ def main():
         out = write_synthetic_sunrgbd_raw(
             args.root_path, n_frames=args.n_scenes)
         print(f"[synthetic-sunrgbd-raw] wrote {out}")
+    elif args.dataset == "sunrgbd_total":
+        # Total3DUnderstanding COCO json -> info pkls (reference
+        # `tools/data_converter/sunrgbd_total.py:87-93`: both splits)
+        from nerfdet_tpu.data.sunrgbd_etl import convert_sunrgbd_total
+
+        for split in ("train", "val"):
+            path = os.path.join(args.root_path,
+                                f"sunrgbd_total_infos_{split}.json")
+            out = convert_sunrgbd_total(path)
+            print(f"[sunrgbd_total] wrote {out}")
+    elif args.dataset == "synthetic-sunrgbd-total":
+        from nerfdet_tpu.data.sunrgbd_etl import \
+            write_synthetic_sunrgbd_total
+
+        out = write_synthetic_sunrgbd_total(
+            args.root_path, n_images=args.n_scenes)
+        print(f"[synthetic-sunrgbd-total] wrote {out}")
     elif args.dataset == "kitti":
         from nerfdet_tpu.data.kitti_etl import create_kitti_infos
 
@@ -92,6 +111,14 @@ def main():
             max_sweeps=args.max_sweeps, train_scenes=args.train_split,
             val_scenes=args.val_split, out_dir=args.out_dir)
         print(f"[nuscenes] wrote {written}")
+    elif args.dataset == "nuscenes_monocular":
+        from nerfdet_tpu.data.nuscenes_etl import \
+            create_nuscenes_monocular_infos
+
+        written = create_nuscenes_monocular_infos(
+            args.root_path, version=args.version or "v1.0-mini",
+            train_scenes=args.train_split, out_dir=args.out_dir)
+        print(f"[nuscenes_monocular] wrote {written}")
     elif args.dataset == "nuimages":
         # COCO-format 2D instance-seg export (reference
         # `tools/data_converter/nuimage_converter.py`, SDK-free)

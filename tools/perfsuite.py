@@ -77,6 +77,24 @@ def _bench_flagship(report):
         host_rgb_stats(*hr_args, compute_dtype="bfloat16")
     report["flagship_host_rgb_stats_ms_per_scene_1core"] = round(
         (time.perf_counter() - t0) / 3 * 1e3, 1)
+    # honesty key for the TPU tie-break caveat (ops/voxel.py
+    # host_rgb_stats docstring): run the in-scan projection path once
+    # ON DEVICE and report the worst host-vs-device stats delta, so a
+    # projection/rounding regression surfaces in every report
+    from nerfdet_tpu.ops.voxel import device_rgb_stats
+
+    d1, d2 = jax.jit(
+        lambda im, k, e, o: device_rgb_stats(
+            im, k, e, o, model.n_voxels, model.voxel_size,
+            meta.ori_shape, meta.img_shape,
+            compute_dtype=jnp.bfloat16))(
+        batch["denorm_images"], batch["intrinsic"],
+        batch["extrinsics"], batch["origin"])
+    import numpy as np
+
+    report["flagship_host_vs_device_rgb_stats_max_delta"] = float(
+        max(np.abs(np.asarray(d1) - s1).max(),
+            np.abs(np.asarray(d2) - s2).max()))
     batch["rgb_s1"] = jnp.asarray(s1)
     batch["rgb_s2"] = jnp.asarray(s2)
     det_batch = {k: batch[k] for k in
@@ -114,16 +132,17 @@ def _bench_flagship(report):
     # The flagship is gather/BW-bound, not matmul-bound (PERF.md), so
     # low MFU here is expected; the number exists to anchor "how far
     # from the compute roofline" each round actually is.
-    from nerfdet_tpu.utils.platform import xla_flops
+    from nerfdet_tpu.utils.platform import xla_flops_detail
 
-    flops = xla_flops(step.lower(params, det_batch, jnp.float32(0.0)))
+    flops, _, flops_err = xla_flops_detail(
+        step.lower(params, det_batch, jnp.float32(0.0)))
     if flops:
         report["det_flops_per_scene"] = flops
         peak = _chip_peak_flops(jax.devices()[0])
         if peak:
             report["det_mfu_pct"] = round(100.0 * flops * rate / peak, 2)
     else:  # cost analysis unavailable on this backend
-        report["det_mfu_error"] = "cost_analysis unavailable"
+        report["det_mfu_error"] = flops_err or "cost_analysis unavailable"
 
     # ---- train step ----
     from nerfdet_tpu.train import TrainState, build_optimizer

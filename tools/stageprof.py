@@ -132,13 +132,18 @@ def main():
     if not args.train:
         stages.append("+topk")  # top-k has no params to grad through
     prev_flops = 0.0
+    from nerfdet_tpu.utils.platform import xla_flops_detail
+
     for name in stages:
         fn = bound(name)
         step = jax.jit(as_grad(fn) if args.train else fn)
         its = [jnp.asarray(i, jnp.int32) for i in range(3 + iters)]
-        from nerfdet_tpu.utils.platform import xla_flops
-
-        flops = xla_flops(step.lower(params, batch, its[0]))
+        flops, compiled, _ = xla_flops_detail(
+            step.lower(params, batch, its[0]))
+        if compiled is not None:
+            # plugin backend: cost analysis forced an AOT compile —
+            # benchmark that executable instead of compiling twice
+            step = compiled
         jax.device_get(jax.tree.leaves(step(params, batch, its[0])))
         for i in range(3):
             jax.device_get(jax.tree.leaves(step(params, batch, its[i])))
