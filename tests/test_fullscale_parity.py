@@ -137,9 +137,9 @@ class TorchNerfMLP(tnn.Module):
     """VanillaNeRFRadianceField at flagship feature_dim
     (`model_utils/nerf_mlp.py`, net_depth=4 / skip=3)."""
 
-    def __init__(self):
+    def __init__(self, feat_dim=FEAT_DIM):
         super().__init__()
-        in_dim = POS_DIM + FEAT_DIM
+        in_dim = POS_DIM + feat_dim
         base = tnn.Module()
         base.hidden_layers = tnn.ModuleList(
             [tnn.Linear(d, MLP_W) for d in (in_dim, MLP_W, MLP_W, MLP_W)])
