@@ -54,7 +54,8 @@ class ScanNetMultiViewDataset:
                  filter_empty_gt: bool = True,
                  repeat_times: int = 1,
                  seed: int = 0,
-                 rgb_stats_spec=None):
+                 rgb_stats_spec=None,
+                 ray_stats_spec=None):
         self.data_root = data_root
         self.classes = tuple(classes)
         self.test_mode = test_mode
@@ -68,6 +69,13 @@ class ScanNetMultiViewDataset:
         # prefetch overlaps the host cost with device compute (the
         # VoteNet host-sampling-chain pattern, PERF.md round 1).
         self.rgb_stats_spec = rgb_stats_spec
+        # (near_far, n_samples, compute_dtype): when set, the pipeline
+        # samples the per-ray stratified depths AND the renderer's rgb
+        # stream accumulators on the host (ops/render.host_sample_z /
+        # host_ray_rgb_stats) — both parameter-free — so the device
+        # render scan gathers only the feature maps (PERF.md round 5).
+        # Training samples only; the eval path renders on device.
+        self.ray_stats_spec = ray_stats_spec
         self.filter_empty_gt = filter_empty_gt and not test_mode
         self.repeat_times = repeat_times
         self.pipeline = pipeline or MultiViewPipeline()
@@ -159,6 +167,23 @@ class ScanNetMultiViewDataset:
 
         if self.use_ray and not self.test_mode and "raydirs" in sample:
             sample = subsample_rays(sample, self.n_rand, rng)
+            if self.ray_stats_spec is not None:
+                from ..ops.render import host_ray_rgb_stats, host_sample_z
+
+                near_far, n_samples, cdtype = self.ray_stats_spec
+                z_vals = host_sample_z(rng, sample["ray_o"].shape[0],
+                                       near_far[0], near_far[1],
+                                       n_samples)
+                s1u, s2u, s1m, cnt = host_ray_rgb_stats(
+                    sample["denorm_images"], sample["intrinsic"],
+                    sample["extrinsics"], sample["ray_o"],
+                    sample["ray_d"], z_vals, sample["ori_shape"],
+                    sample["img_shape"], compute_dtype=cdtype)
+                sample["z_vals"] = z_vals
+                sample["ray_s1u"] = s1u
+                sample["ray_s2u"] = s2u
+                sample["ray_s1m"] = s1m
+                sample["ray_cnt"] = cnt
         elif self.use_ray and "raydirs" in sample:
             # test: keep per-view ray images; rename for the model
             sample["ray_o"] = sample.pop("lightpos")
@@ -300,9 +325,29 @@ def rgb_stats_spec_from_config(cfg, use_depth: bool = False,
             "bfloat16" if bf16 else "float32")
 
 
+def ray_stats_spec_from_config(cfg, bf16: bool = False):
+    """Host ray-rgb-statistics spec for :class:`ScanNetMultiViewDataset`.
+
+    Returns ``(near_far, n_samples, compute_dtype)`` when the config's
+    model is an image-mode NerfDet (the flagship render path, where the
+    per-sample-point source-view colors are parameter-free) — else
+    ``None``. Volume-mode renderers sample the learned mean/cov volumes
+    instead of the images, so they keep the device path.
+    """
+    model = cfg.get("model", {}) if hasattr(cfg, "get") else {}
+    if model.get("type") != "nerfdet":
+        return None
+    if model.get("nerf_mode", "image") != "image":
+        return None
+    return (tuple(model.get("near_far_range", (0.2, 8.0))),
+            int(model.get("N_samples", 64)),
+            "bfloat16" if bf16 else "float32")
+
+
 def build_dataset(data_cfg: Dict, test_mode: bool = False,
                   use_depth: bool = False, n_rand: int = 2048,
-                  rgb_stats_spec=None) -> ScanNetMultiViewDataset:
+                  rgb_stats_spec=None,
+                  ray_stats_spec=None) -> ScanNetMultiViewDataset:
     """Build from a reference-style ``data['train'/'val'/'test']`` dict."""
     repeat = 1
     if data_cfg.get("type") == "RepeatDataset":
@@ -451,4 +496,5 @@ def build_dataset(data_cfg: Dict, test_mode: bool = False,
         filter_empty_gt=data_cfg.get("filter_empty_gt", False),
         repeat_times=repeat,
         rgb_stats_spec=rgb_stats_spec,
+        ray_stats_spec=ray_stats_spec,
     )

@@ -267,7 +267,8 @@ class NerfDet(nn.Module):
     def render(self, ray_o, ray_d, features, imgs_denorm, intrinsic,
                extrinsics, volume_stats=None, det: bool = True,
                rng=None, featmaps=None, view_axis: Optional[str] = None,
-               n_ray_shards: int = 1):
+               n_ray_shards: int = 1, z_vals=None,
+               precomputed_rgb=None):
         """Render a chunk of rays (reference `render_ray.py:250-369`).
 
         ``features`` are the stride-4 FPN maps; in image mode they are
@@ -319,6 +320,8 @@ class NerfDet(nn.Module):
                 key=rng,
                 view_axis=view_axis,
                 n_ray_shards=n_ray_shards,
+                z_vals=z_vals,
+                precomputed_rgb=precomputed_rgb,
             )
         # volume mode (`nerfdet.py:185-188`, `render_ray.py:308-323`)
         mean_volume = self.mean_mapping(volume_stats["mean"][None])[0]
@@ -383,12 +386,23 @@ class NerfDet(nn.Module):
 
         render_out = None
         if with_rays and "ray_o" in batch:
+            # host-precomputed ray stream (data pipeline,
+            # ops/render.host_ray_rgb_stats + host_sample_z): the rgb
+            # sampling and the stratified depth jitter are parameter-
+            # free, so shipping them halves the render scan's gather/
+            # scatter rows (PERF.md round 5); absent keys keep the
+            # on-device path
+            pre_rgb = (None if "ray_s1u" not in batch else
+                       (batch["ray_s1u"], batch["ray_s2u"],
+                        batch["ray_s1m"], batch["ray_cnt"]))
             render_out = self.render(
                 batch["ray_o"], batch["ray_d"], features,
                 batch["denorm_images"], batch["intrinsic"],
                 batch["extrinsics"], volume_stats=vol,
                 det=not train, rng=rng, view_axis=view_axis,
                 n_ray_shards=n_ray_shards,
+                z_vals=batch.get("z_vals"),
+                precomputed_rgb=pre_rgb,
             )
         return head_outs, vol["valid"], render_out
 

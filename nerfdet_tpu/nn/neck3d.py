@@ -71,9 +71,24 @@ class _UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(self.out_channels, (2, 2, 2),
-                             strides=(2, 2, 2), use_bias=False,
-                             dtype=self.dtype, name="up_conv")(x)
+        import os
+
+        from ..ops.conv3d import ConvTransposeBlock
+
+        # kernel == stride == 2: the transpose conv can run as one
+        # matmul + depth-to-space (ops/conv3d.conv_transpose_block,
+        # parity-tested vs nn.ConvTranspose). An interleaved in-process
+        # A/B on the flagship inference graph measured the two
+        # schedules IDENTICAL within 0.1 ms (PERF.md round 5) — XLA's
+        # lowering is already fine at these shapes — so the default
+        # stays xla; NERFDET_TPU_UPCONV=mm opts in for A/B.
+        if os.environ.get("NERFDET_TPU_UPCONV", "xla") == "mm":
+            x = ConvTransposeBlock(self.out_channels, (2, 2, 2),
+                                   dtype=self.dtype, name="up_conv")(x)
+        else:
+            x = nn.ConvTranspose(self.out_channels, (2, 2, 2),
+                                 strides=(2, 2, 2), use_bias=False,
+                                 dtype=self.dtype, name="up_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="up_norm")(x)
         x = nn.relu(x)

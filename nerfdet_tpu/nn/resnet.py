@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,6 +35,62 @@ class FrozenAffine(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class _StemConv(nn.Module):
+    """The ResNet stem's 7x7/stride-2 convolution, with a
+    space-to-depth schedule on TPU.
+
+    A C_in=3 image conv is the classic MXU pathology: the contraction
+    depth is tiny and the systolic array runs ~8 TFLOP/s (measured
+    2.5 ms of the flagship's 11.4 ms backbone, PERF.md round 5). The
+    EXACT same conv computed on the 2x2 space-to-depth layout —
+    input (H/2, W/2, 4*C_in), kernel the 2x2 space-to-depth of the
+    zero-padded 8x8 kernel, stride 1, padding (2, 1) — tiles the MXU
+    properly. Bit-exactness vs the direct conv is parity-tested; the
+    parameter is the SAME (7, 7, C_in, 64) ``kernel`` as ``nn.Conv``
+    (checkpoints unchanged). ``NERFDET_TPU_STEM=conv`` opts back into
+    the direct lowering; odd spatial extents fall back automatically.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        x = x.astype(self.dtype)
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, 64)).astype(self.dtype)
+        v, h, w, _ = x.shape
+        if (os.environ.get("NERFDET_TPU_STEM", "s2d") != "s2d"
+                or h % 2 or w % 2):
+            return jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")),
+                preferred_element_type=x.dtype)
+        # input 2x2 space-to-depth: (V, H/2, W/2, 4*Cin), block order
+        # (dy, dx, c)
+        z = x.reshape(v, h // 2, 2, w // 2, 2, cin)
+        z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(
+            v, h // 2, w // 2, 4 * cin)
+        # kernel: out[i,j] = sum_{a,b} x[2i+a-3, 2j+b-3] W[a,b] with
+        # a-3 = 2m+dy  =>  K2[m+2, n+2, (dy,dx,c)] = Wp[2(m+2)+dy,
+        # 2(n+2)+dx, c] where Wp is W zero-padded by one leading
+        # row/col (the a=-1 tap) — i.e. K2 is the 2x2 space-to-depth
+        # of the padded 8x8 kernel
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = wp.reshape(4, 2, 4, 2, cin, 64)
+        k2 = jnp.transpose(k2, (0, 2, 1, 3, 4, 5)).reshape(
+            4, 4, 4 * cin, 64)
+        return jax.lax.conv_general_dilated(
+            z, k2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                z.shape, k2.shape, ("NHWC", "HWIO", "NHWC")),
+            preferred_element_type=z.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -84,8 +141,7 @@ class ResNet(nn.Module):
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         blocks = STAGE_BLOCKS[self.depth]
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _StemConv(dtype=self.dtype, name="conv1")(x)
         x = FrozenAffine(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1)
@@ -93,7 +149,10 @@ class ResNet(nn.Module):
 
         outs = []
         mid = 64
+        last = max(self.out_indices)
         for stage, n_blocks in enumerate(blocks):
+            if stage > last:
+                break  # nothing downstream consumes later stages
             stride = 1 if stage == 0 else 2
             for b in range(n_blocks):
                 x = Bottleneck(

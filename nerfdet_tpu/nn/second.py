@@ -84,9 +84,12 @@ class SECONDFPN(nn.Module):
             s = self.upsample_strides[i]
             if s > 1 or (s == 1 and not self.use_conv_for_no_stride):
                 s = int(s)
-                x = nn.ConvTranspose(
-                    self.out_channels[i], (s, s), strides=(s, s),
-                    use_bias=False, dtype=self.dtype,
+                # kernel == stride: one matmul + space-to-depth inverse
+                # (ops/conv3d.conv_transpose_block), same kernel param
+                from ..ops.conv3d import ConvTransposeBlock
+
+                x = ConvTransposeBlock(
+                    self.out_channels[i], (s, s), dtype=self.dtype,
                     name=f"deblocks_{i}_up")(x)
             else:
                 inv = int(round(1 / s))

@@ -202,18 +202,23 @@ def conv3d_xla(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
 _SCHEDULES = {"ztap": conv3d_ztap, "mm": conv3d_mm, "zfold": conv3d_zfold,
               "xla": conv3d_xla}
 
-# Per-shape winners measured on TPU v5e bf16 (tools/convbench.py
-# chained-fori_loop methodology, fwd + fwd+bwd summed; PERF.md round-4
-# section has the full table). Keyed by (cin, cout, stride): the
-# channel pair + stride sets the MXU tiling regime; spatial extent
-# only scales the cost. Shapes not in the table (and every shape
-# where the two schedules were within relay noise) fall back to the
-# z-tap decomposition, the round-2 default.
+# Per-shape winners. Keyed by (cin, cout, stride): the channel pair +
+# stride sets the MXU tiling regime; spatial extent only scales the
+# cost. Selection policy (PERF.md round 5): the micro-bench
+# (tools/convbench.py chained-fori_loops) NOMINATES candidates, but
+# the fused end-to-end graph DECIDES — a round-5 table rebuilt purely
+# from fresh micro winners ((512,1024,2)->mm etc.) measured 42.9
+# scenes/sec end-to-end vs 43.8 for this table in the same session:
+# sub-0.3 ms micro deltas don't survive XLA's fusion context. Shapes
+# not listed fall back to the z-tap decomposition, the round-2
+# default.
 _BEST: dict = {
-    (256, 512, 2): "zfold",    # neck down_1 conv1: 0.79 vs >1.0 ms
-    (512, 512, 1): "zfold",    # neck down_1 conv2 / up_2: 0.58 vs 0.81
-    (512, 1024, 2): "zfold",   # neck down_2 conv1: 0.48 vs ~0.6
-    (128, 18, 1): "zfold",     # head cls convs: 0.41 vs 0.53
+    (256, 512, 2): "zfold",    # neck down_1 conv1 (r4, end-to-end +)
+    (512, 512, 1): "zfold",    # neck down_1 conv2 / up_2 (r4)
+    (512, 1024, 2): "zfold",   # neck down_2 conv1 (r4)
+    (1024, 1024, 1): "zfold",  # neck down_2 conv2: 0.32 vs 0.61 ztap
+    (128, 18, 1): "zfold",     # head cls convs (r4; r5: 0.36 vs 0.72)
+    (128, 6, 1): "zfold",      # head reg convs: ~0 vs 0.17 ztap
 }
 
 
@@ -226,6 +231,67 @@ def conv3d_schedule(x, kernel, strides: Tuple[int, int, int] = (1, 1, 1),
         key = (kernel.shape[-2], kernel.shape[-1], max(strides))
         name = _BEST.get(key, "ztap")
     return _SCHEDULES[name](x, kernel, strides, _norm_padding(padding))
+
+
+def conv_transpose_block(x, kernel):
+    """ConvTranspose with kernel == stride as ONE matmul + interleave.
+
+    With the kernel equal to the stride the output blocks don't
+    overlap: every input site independently produces a
+    ``k1 x ... x kn`` output block, so the whole op is
+    ``(N, Cin) @ (Cin, prod(k)*Cout)`` — MXU-native — followed by an
+    interleaving reshape. Exactly ``flax.linen.ConvTranspose(features,
+    k, strides=k)`` on channels-last input with the SAME ``kernel``
+    parameter (parity-tested), replacing XLA's fractionally-strided
+    conv lowering in the 3D neck's up blocks
+    (`mmdet3d/models/necks/imvoxelnet.py:36-44`) and SECONDFPN's
+    deblocks (`mmdet3d/models/necks/second_fpn.py`). Works for any
+    spatial rank (2D and 3D here).
+    """
+    spatial = kernel.ndim - 2
+    ks = kernel.shape[:spatial]
+    cin, cout = kernel.shape[-2:]
+    b = x.shape[0]
+    dims = x.shape[1:1 + spatial]
+    # conv_transpose correlates with the spatially FLIPPED kernel
+    # (it is the transpose of a strided conv), so the in-block weight
+    # at offset r is kernel[k-1-r]
+    kernel = jnp.flip(kernel, axis=tuple(range(spatial)))
+    kf = kernel.reshape(-1, cin, cout)
+    kf = jnp.transpose(kf, (1, 0, 2)).reshape(cin, -1)
+    y = jax.lax.dot_general(
+        x.reshape(-1, cin), kf, (((1,), (0,)), ((), ())),
+        preferred_element_type=x.dtype)
+    y = y.reshape((b,) + tuple(dims) + tuple(ks) + (cout,))
+    perm = [0]
+    for i in range(spatial):
+        perm += [1 + i, 1 + spatial + i]
+    perm.append(1 + 2 * spatial)
+    y = jnp.transpose(y, perm)
+    return y.reshape(
+        (b,) + tuple(d * k for d, k in zip(dims, ks)) + (cout,))
+
+
+class ConvTransposeBlock(nn.Module):
+    """Drop-in for ``nn.ConvTranspose(features, k, strides=k,
+    use_bias=False)`` with the matmul schedule above. Identical
+    ``kernel`` parameter contract (shape ``(*k, Cin, Cout)``,
+    lecun-normal init), so checkpoints and the torch-parity conversion
+    are unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, ...] = (2, 2, 2)
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (cin, self.features))
+        return conv_transpose_block(x.astype(self.dtype),
+                                    kernel.astype(self.dtype))
 
 
 class ConvZTap(nn.Module):

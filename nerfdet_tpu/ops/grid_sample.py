@@ -97,7 +97,12 @@ def grid_sample_2d_packed(packed, px, py):
     rows = packed.reshape(h * w, c4)[lin].reshape(px.shape + (4, c))
     wgt = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
                     axis=-1)
-    return jnp.einsum("...kc,...k->...c", rows, wgt.astype(rows.dtype))
+    # f32 tap sum regardless of the gathered dtype: bitwise-identical
+    # for f32 inputs, and for bf16 maps it pins the 4-term reduction
+    # order so the HOST twin (ops/render.host_ray_rgb_stats) can
+    # reproduce it exactly; the weighted sum is VPU work either way
+    return jnp.einsum("...kc,...k->...c", rows.astype(jnp.float32),
+                      wgt.astype(jnp.float32)).astype(rows.dtype)
 
 
 def grid_sample_3d(volume, px, py, pz, padding: str = "border"):

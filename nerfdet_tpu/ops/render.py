@@ -19,6 +19,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .grid_sample import (grid_sample_2d, grid_sample_2d_packed,
                           grid_sample_3d, pack_bilinear)
@@ -159,7 +160,8 @@ def compute_angle(xyz, query_pose, train_poses):
 
 
 def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
-                              featmaps=None, axis_name=None):
+                              featmaps=None, axis_name=None,
+                              precomputed_rgb=None):
     """Fused per-view sampling + masked mean / exp(-var) over views.
 
     Numerically identical to ``projector_compute`` +
@@ -172,6 +174,16 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
     device holds a (V_local, ...) slice of images/featmaps/poses), the
     per-view sums are ``psum``-reduced over that axis so the returned
     statistics are the global-view values, replicated.
+
+    ``precomputed_rgb``: optional ``(s1u, s2u, s1m, cnt)`` — the rgb
+    stream's (R, S, 3)/(R, S, 1) f32 accumulators from the DATA
+    PIPELINE (:func:`host_ray_rgb_stats`). The rgb image sampling is a
+    pure function of ray geometry and the input images — no
+    parameters — so when the host ships it, the scan gathers only the
+    featmaps: the render's gather rows (and their backward scatter
+    rows) halve (PERF.md round 5). The values are view-GLOBAL: under
+    ``axis_name`` they are used as-is while the device feature sums
+    are psummed.
     """
     h, w = img_hw
     pixels, in_front = project_to_views(pts, intrinsics, poses)
@@ -187,23 +199,32 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
     mask_all = (inbound & in_front)  # (V, R, S)
 
     r, s = pts.shape[:2]
-    c = 3 + (featmaps.shape[-1] if featmaps is not None else 0)
+    with_host_rgb = precomputed_rgb is not None
+    assert not (with_host_rgb and featmaps is None), (
+        "precomputed_rgb with no featmaps leaves nothing to scan")
+    c = ((0 if with_host_rgb else 3)
+         + (featmaps.shape[-1] if featmaps is not None else 0))
 
     def body(carry, view):
         s1u, s2u, s1m, cnt = carry
-        if featmaps is not None:
-            img_v, fm_v, px_v, py_v, m_v = view
+        if with_host_rgb:
+            fm_v, px_v, py_v, m_v = view
+            f = grid_sample_2d_packed(pack_bilinear(fm_v),
+                                      px_v * fx_s, py_v * fy_s)
         else:
-            img_v, px_v, py_v, m_v = view
-        # packed bilinear: ONE gather row per (point, view) instead of
-        # four — row count bounds the gather and its backward scatter
-        # (PERF.md, "packed bilinear gather")
-        f = grid_sample_2d_packed(pack_bilinear(img_v),
-                                  px_v * sx, py_v * sy)
-        if featmaps is not None:
-            ff = grid_sample_2d_packed(pack_bilinear(fm_v),
-                                       px_v * fx_s, py_v * fy_s)
-            f = jnp.concatenate([f, ff], axis=-1)
+            if featmaps is not None:
+                img_v, fm_v, px_v, py_v, m_v = view
+            else:
+                img_v, px_v, py_v, m_v = view
+            # packed bilinear: ONE gather row per (point, view) instead
+            # of four — row count bounds the gather and its backward
+            # scatter (PERF.md, "packed bilinear gather")
+            f = grid_sample_2d_packed(pack_bilinear(img_v),
+                                      px_v * sx, py_v * sy)
+            if featmaps is not None:
+                ff = grid_sample_2d_packed(pack_bilinear(fm_v),
+                                           px_v * fx_s, py_v * fy_s)
+                f = jnp.concatenate([f, ff], axis=-1)
         f = f.astype(jnp.float32)
         m = m_v.astype(jnp.float32)[..., None]
         return (s1u + f, s2u + f * f, s1m + f * m, cnt + m), None
@@ -212,8 +233,11 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
             jnp.zeros((r, s, c), jnp.float32),
             jnp.zeros((r, s, c), jnp.float32),
             jnp.zeros((r, s, 1), jnp.float32))
-    xs = ((images, featmaps, px, py, mask_all) if featmaps is not None
-          else (images, px, py, mask_all))
+    if with_host_rgb:
+        xs = (featmaps, px, py, mask_all)
+    else:
+        xs = ((images, featmaps, px, py, mask_all)
+              if featmaps is not None else (images, px, py, mask_all))
     # optional remat of the per-view (R, S, C) residuals — a measured
     # net loss at flagship shapes, opt-in for memory-constrained runs
     # (see the matching note in ops/voxel.fused_mean_cov)
@@ -233,8 +257,17 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
         s1u = jax.lax.psum(s1u, axis_name)
         s2u = jax.lax.psum(s2u, axis_name)
         s1m = jax.lax.psum(s1m, axis_name)
-        cnt = jax.lax.psum(cnt, axis_name)
+        if not with_host_rgb:
+            # with host rgb the count ships view-global already
+            cnt = jax.lax.psum(cnt, axis_name)
         v = v * jax.lax.psum(1, axis_name)
+    if with_host_rgb:
+        r1u, r2u, r1m, rcnt = (x.astype(jnp.float32)
+                               for x in precomputed_rgb)
+        s1u = jnp.concatenate([r1u, s1u], axis=-1)
+        s2u = jnp.concatenate([r2u, s2u], axis=-1)
+        s1m = jnp.concatenate([r1m, s1m], axis=-1)
+        cnt = rcnt  # identical mask math, host-verified bitwise
     mean = s1m / (cnt + 1e-8)
     # reference variance: sum over ALL views of (f - mean)^2 / count
     var = (s2u - 2.0 * mean * s1u + v * mean * mean) / (cnt + 1e-8)
@@ -369,6 +402,8 @@ def render_rays_chunk(
     white_bkgd: bool = False,
     view_axis: Optional[str] = None,
     n_ray_shards: int = 1,
+    z_vals=None,
+    precomputed_rgb=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one fixed-size chunk of rays (reference `render_ray.py:250-369`).
 
@@ -385,16 +420,24 @@ def render_rays_chunk(
     loss sums). Sampling jitter is drawn for the full ray set before
     slicing, so results are invariant to the shard count.
     """
-    pts, z_vals = sample_along_camera_ray(
-        ray_o, ray_d, near_far[0], near_far[1], n_samples, det=det, key=key
-    )
+    if z_vals is not None:
+        # host-sampled depths (data pipeline, host_sample_z): the
+        # stratified jitter moved off-device with the precomputed rgb
+        # stream; pts are recomputed here (cheap, exact)
+        z_vals = jnp.asarray(z_vals, jnp.float32)
+        pts = (z_vals[..., None] * ray_d[:, None, :]
+               + ray_o[:, None, :])
+    else:
+        pts, z_vals = sample_along_camera_ray(
+            ray_o, ray_d, near_far[0], near_far[1], n_samples, det=det,
+            key=key)
 
     if mode == "image":
         # streaming over views: same math as projector_compute +
         # compute_mask_points without the (R, S, V, C) intermediate
         globalfeat, pixel_mask = streaming_sample_mean_var(
             pts, images, intrinsics, poses, img_hw, featmaps=featmaps,
-            axis_name=view_axis,
+            axis_name=view_axis, precomputed_rgb=precomputed_rgb,
         )
     elif mode == "volume":
         mean_pts, inbound = volume_sampling(pts, mean_volume, aabb)
@@ -456,3 +499,124 @@ def render_rays_full(ray_o, ray_d, chunk: int, render_fn: Callable):
         "rgb": outs["rgb"].reshape(n, 3),
         "depth": outs["depth"].reshape(n),
     }
+
+
+# ---------------------------------------------------------------------
+# host (data pipeline) twins of the rgb stream — see PERF.md round 5
+# ---------------------------------------------------------------------
+
+def host_sample_z(rng, n_rays: int, near: float, far: float,
+                  n_samples: int, det: bool = False) -> np.ndarray:
+    """Host-side stratified depth sampling, the numpy twin of
+    :func:`sample_along_camera_ray`'s z path (R, S). ``rng`` is the
+    pipeline's per-sample ``np.random.RandomState`` — the jitter moves
+    off-device together with the precomputed rgb stream."""
+    step = np.float32((far - near) / (n_samples - 1))
+    z = (np.float32(near)
+         + step * np.arange(n_samples, dtype=np.float32))
+    z = np.broadcast_to(z[None], (n_rays, n_samples)).copy()
+    if not det:
+        mids = np.float32(0.5) * (z[:, 1:] + z[:, :-1])
+        upper = np.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = np.concatenate([z[:, 0:1], mids], axis=-1)
+        t = rng.random_sample(z.shape).astype(np.float32)
+        z = lower + (upper - lower) * t
+    return z
+
+
+def host_ray_rgb_stats(denorm_images, intrinsic, extrinsics,
+                       ray_o, ray_d, z_vals, ori_shape, img_shape,
+                       compute_dtype=np.float32):
+    """Numpy twin of the rgb stream of :func:`streaming_sample_mean_var`.
+
+    The renderer's per-sample-point source-view COLORS are a pure
+    function of ray geometry and the input images — no parameters, no
+    gradients — so the data pipeline computes the scan's rgb
+    accumulators and the device scan gathers only the (parameter-
+    dependent) feature maps: the render's gather rows and their
+    backward scatter rows halve (PERF.md round 5; the same pattern as
+    `ops/voxel.host_rgb_stats` for the volume).
+
+    Exactness: f32 projection (HIGHEST-precision einsum on device),
+    f32 packed-bilinear tap sum round-tripped through ``compute_dtype``
+    (matching `grid_sample_2d_packed` on a ``compute_dtype`` image),
+    f32 accumulation. Bitwise-equal to the device scan on CPU
+    (tests/test_host_ray_rgb.py).
+
+    Returns ``(s1u, s2u, s1m, cnt)``: unmasked sum, unmasked squared
+    sum, masked sum — each (R, S, 3) f32 — and the view count
+    (R, S, 1) f32.
+    """
+    import ml_dtypes
+
+    h, w = int(img_shape[0]), int(img_shape[1])
+    ratio = np.float32(ori_shape[0]) / np.float32(h)
+    intr = np.asarray(intrinsic, np.float32)
+    intr4 = np.eye(4, dtype=np.float32)
+    intr4[: intr.shape[0], : intr.shape[1]] = intr
+    intr4[:2] /= ratio
+    poses = np.asarray(extrinsics, np.float32)
+    proj = np.einsum("ij,vjk->vik", intr4, poses).astype(np.float32)
+
+    pts = (np.asarray(z_vals, np.float32)[..., None]
+           * np.asarray(ray_d, np.float32)[:, None, :]
+           + np.asarray(ray_o, np.float32)[:, None, :])  # (R, S, 3)
+    r, s = pts.shape[:2]
+    xyz = pts.reshape(-1, 3)
+    xyz_h = np.concatenate([xyz, np.ones_like(xyz[:, :1])], axis=-1)
+    cam = np.einsum("vij,nj->vni", proj, xyz_h).astype(np.float32)
+    z = np.clip(cam[..., 2], 1e-8, None)
+    px = np.clip(cam[..., 0] / z, -1e6, 1e6)
+    py = np.clip(cam[..., 1] / z, -1e6, 1e6)
+    in_front = cam[..., 2] > 0
+    inbound = (px <= w - 1.0) & (px >= 0) & (py <= h - 1.0) & (py >= 0)
+    mask = (inbound & in_front).astype(np.float32)  # (V, R*S)
+
+    imgs = np.asarray(denorm_images, np.float32)
+    if compute_dtype not in (np.float32, "float32", jnp.float32):
+        imgs = imgs.astype(ml_dtypes.bfloat16).astype(np.float32)
+        out_rt = ml_dtypes.bfloat16
+    else:
+        out_rt = np.float32
+    v, ih, iw, _ = imgs.shape
+    sx = np.float32((iw - 1.0) / (w - 1.0))
+    sy = np.float32((ih - 1.0) / (h - 1.0))
+    pxs, pys = px * sx, py * sy
+    x0 = np.clip(np.floor(pxs), 0.0, iw - 1.0)
+    y0 = np.clip(np.floor(pys), 0.0, ih - 1.0)
+    rx, ry = pxs - x0, pys - y0
+    wx0 = np.maximum(np.float32(0), np.float32(1) - np.abs(rx))
+    wx1 = np.maximum(np.float32(0), np.float32(1) - np.abs(rx - 1))
+    wy0 = np.maximum(np.float32(0), np.float32(1) - np.abs(ry))
+    wy1 = np.maximum(np.float32(0), np.float32(1) - np.abs(ry - 1))
+    x0i = x0.astype(np.int64)
+    y0i = y0.astype(np.int64)
+
+    # zero-pad right/bottom exactly like pack_bilinear
+    pad = np.pad(imgs, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    flat = pad.reshape(v, (ih + 1) * (iw + 1), 3)
+    base = y0i * (iw + 1) + x0i
+
+    # sequential per-view accumulation, matching the device scan's
+    # carry order bit-for-bit (numpy's axis-sum is pairwise)
+    n = r * s
+    s1u = np.zeros((n, 3), np.float32)
+    s2u = np.zeros((n, 3), np.float32)
+    s1m = np.zeros((n, 3), np.float32)
+    cnt = np.zeros((n, 1), np.float32)
+    for vi in range(v):
+        fv = flat[vi]
+        lin = base[vi]
+        f = (fv[lin] * (wy0[vi] * wx0[vi])[:, None]
+             + fv[lin + 1] * (wy0[vi] * wx1[vi])[:, None]
+             + fv[lin + (iw + 1)] * (wy1[vi] * wx0[vi])[:, None]
+             + fv[lin + (iw + 2)] * (wy1[vi] * wx1[vi])[:, None])
+        if out_rt is not np.float32:
+            f = f.astype(out_rt).astype(np.float32)
+        m = mask[vi][:, None]
+        s1u += f
+        s2u += f * f
+        s1m += f * m
+        cnt += m
+    return (s1u.reshape(r, s, 3), s2u.reshape(r, s, 3),
+            s1m.reshape(r, s, 3), cnt.reshape(r, s, 1))

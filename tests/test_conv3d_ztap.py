@@ -184,3 +184,63 @@ def test_gradients_match_conv3d():
     g2 = jax.grad(f_ref)(kernel)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("spatial,k", [
+    ((4, 6, 8), (2, 2, 2)),   # 3D neck up blocks
+    ((12, 10), (2, 2)),       # SECONDFPN deblock s=2
+    ((6, 5), (4, 4)),         # SECONDFPN deblock s=4
+    ((7, 9), (1, 1)),         # SECONDFPN s=1 passthrough deconv
+])
+def test_conv_transpose_block_matches_flax(spatial, k):
+    """conv_transpose_block == nn.ConvTranspose(k, strides=k) with the
+    SAME kernel parameter, values and gradients."""
+    from flax import linen as nn
+
+    from nerfdet_tpu.ops.conv3d import ConvTransposeBlock
+
+    cin, cout = 5, 7
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, *spatial, cin).astype(np.float32))
+
+    ref = nn.ConvTranspose(cout, k, strides=k, use_bias=False)
+    ours = ConvTransposeBlock(cout, k)
+    v_ref = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(v_ref, x)
+    y_ours = ours.apply(v_ref, x)  # identical param tree
+    assert y_ours.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, v):
+        return jnp.sum(jnp.sin(fn.apply(v, x)))
+
+    g_ref = jax.grad(lambda v: loss(ref, v))(v_ref)
+    g_ours = jax.grad(lambda v: loss(ours, v))(v_ref)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(g_ours)[0]),
+        np.asarray(jax.tree.leaves(g_ref)[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_stem_s2d_matches_direct_conv():
+    """The ResNet stem's space-to-depth schedule == the direct 7x7/s2
+    conv with the same kernel (values; both f32 and bf16)."""
+    import os
+
+    from nerfdet_tpu.nn.resnet import _StemConv
+
+    rng = np.random.RandomState(0)
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        x = jnp.asarray(rng.randn(2, 24, 32, 3).astype(np.float32))
+        mod = _StemConv(dtype=dtype)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        os.environ["NERFDET_TPU_STEM"] = "conv"
+        try:
+            y_ref = mod.apply(v, x)
+        finally:
+            os.environ.pop("NERFDET_TPU_STEM")
+        y_s2d = mod.apply(v, x)
+        assert y_s2d.shape == y_ref.shape == (2, 12, 16, 64)
+        np.testing.assert_allclose(
+            np.asarray(y_s2d, np.float32), np.asarray(y_ref, np.float32),
+            rtol=tol, atol=tol)

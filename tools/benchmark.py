@@ -86,6 +86,37 @@ def main():
             seed=0, n_views=args.views, n_targets=1, hw=meta.img_shape,
             pad_hw=meta.pad_shape, n_rand=n_rand, n_boxes=4, max_gt=8,
             margin=10)
+        # host-precomputed streams exactly like the production loader
+        # (data/dataset.py): volume rgb stats + ray rgb stats + z_vals
+        import numpy as np
+
+        from nerfdet_tpu.data.dataset import (ray_stats_spec_from_config,
+                                              rgb_stats_spec_from_config)
+        from nerfdet_tpu.ops.render import (host_ray_rgb_stats,
+                                            host_sample_z)
+        from nerfdet_tpu.ops.voxel import host_rgb_stats
+
+        vspec = rgb_stats_spec_from_config(cfg, bf16=use_bf16)
+        if vspec is not None:
+            s1, s2 = host_rgb_stats(
+                train_scene["denorm_images"], train_scene["intrinsic"],
+                train_scene["extrinsics"], train_scene["origin"],
+                vspec[0], vspec[1], meta.ori_shape, meta.img_shape,
+                compute_dtype=vspec[2])
+            train_scene["rgb_s1"], train_scene["rgb_s2"] = s1, s2
+        rspec = ray_stats_spec_from_config(cfg, bf16=use_bf16)
+        if rspec is not None:
+            z_vals = host_sample_z(np.random.RandomState(0), n_rand,
+                                   rspec[0][0], rspec[0][1], rspec[1])
+            (train_scene["ray_s1u"], train_scene["ray_s2u"],
+             train_scene["ray_s1m"], train_scene["ray_cnt"]) = \
+                host_ray_rgb_stats(
+                    train_scene["denorm_images"],
+                    train_scene["intrinsic"],
+                    train_scene["extrinsics"], train_scene["ray_o"],
+                    train_scene["ray_d"], z_vals, meta.ori_shape,
+                    meta.img_shape, compute_dtype=rspec[2])
+            train_scene["z_vals"] = z_vals
         tbatch = {k: jnp.asarray(v)[None] for k, v in
                   train_scene.items()}
         tx = build_optimizer(params["params"],

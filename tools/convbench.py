@@ -99,6 +99,62 @@ def bench_one(schedule_fn, shape, dtype, iters: int, warmup: int):
     return out
 
 
+# neck up-block ConvTranspose shapes: (D, H, W, Cin, Cout)
+UP_SHAPES = [
+    ("neck_up2", (4, 10, 10, 1024, 512)),
+    ("neck_up1", (8, 20, 20, 512, 256)),
+]
+
+
+def bench_transpose(shape, dtype, iters: int, warmup: int):
+    """A/B the 2x2x2 stride-2 ConvTranspose schedules: XLA's
+    fractionally-strided lowering vs the matmul + depth-to-space
+    formulation (`conv3d.conv_transpose_block`). Same chained-fori
+    methodology as :func:`bench_one`."""
+    from flax import linen as nn
+
+    d, h, w, cin, cout = shape
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, d, h, w, cin), dtype)
+    k = jax.random.normal(key, (2, 2, 2, cin, cout), dtype) * 0.02
+    ref = nn.ConvTranspose(cout, (2, 2, 2), strides=(2, 2, 2),
+                           use_bias=False, dtype=dtype)
+
+    def xla_once(xx):
+        return ref.apply({"params": {"kernel": k}},
+                         xx).mean().astype(dtype)
+
+    def mm_once(xx):
+        return conv3d.conv_transpose_block(xx, k).mean().astype(dtype)
+
+    out = {}
+    for name, once in (("xla", xla_once), ("mm", mm_once)):
+        fwdbwd = jax.grad(
+            lambda a, f=once: (f(a).astype(jnp.float32) ** 2).sum())
+
+        for phase, fn in (("fwd", once), ("fwd+bwd", lambda a,
+                                          g=fwdbwd: g(a).mean())):
+            @jax.jit
+            def run(x, n, fn=fn):
+                def body(_, acc):
+                    return (acc * 1e-6
+                            + jnp.asarray(fn(x + acc * 1e-6),
+                                          jnp.float32))
+                return jax.lax.fori_loop(0, n, body,
+                                         jnp.asarray(0.0, jnp.float32))
+
+            jax.device_get(run(x, warmup))
+            jax.device_get(run(x, warmup))
+            t0 = time.perf_counter()
+            jax.device_get(run(x, iters))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.device_get(run(x, 2 * iters))
+            t2 = time.perf_counter() - t0
+            out[f"{name}_{phase}"] = max(t2 - t1, 0.0) / iters * 1e3
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -113,6 +169,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if not args.tiny:
+        for label, shape in UP_SHAPES:
+            ms = bench_transpose(shape, dtype, args.iters, args.warmup)
+            print(json.dumps(dict(
+                {"shape": label,
+                 "dtype": "bf16" if args.bf16 else "f32"},
+                **{kk: round(vv, 3) for kk, vv in ms.items()})),
+                flush=True)
     shapes = TINY if args.tiny else SHAPES
     for label, shape in shapes:
         for sched in args.schedules.split(","):

@@ -157,7 +157,24 @@ def _bench_flagship(report):
     fresh = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(
         (params["params"], params.get("batch_stats", {})))
     state = TrainState.create(fresh[0], fresh[1], tx)
-    tbatch = {k: v[None] for k, v in batch.items()}
+    # host-precomputed ray stream, exactly like the production loader
+    # (PERF.md round 5): z jitter + the renderer's rgb accumulators
+    import numpy as _np
+
+    from nerfdet_tpu.ops.render import host_ray_rgb_stats, host_sample_z
+
+    z_vals = host_sample_z(_np.random.RandomState(0),
+                           int(batch["ray_o"].shape[0]),
+                           model.near_far_range[0],
+                           model.near_far_range[1], model.n_samples)
+    r1, r2, r3, r4 = host_ray_rgb_stats(
+        scene["denorm_images"], scene["intrinsic"],
+        scene["extrinsics"], scene["ray_o"], scene["ray_d"], z_vals,
+        meta.ori_shape, meta.img_shape, compute_dtype="bfloat16")
+    tbatch = {k: v[None] for k, v in dict(
+        batch, z_vals=jnp.asarray(z_vals), ray_s1u=jnp.asarray(r1),
+        ray_s2u=jnp.asarray(r2), ray_s1m=jnp.asarray(r3),
+        ray_cnt=jnp.asarray(r4)).items()}
     train_step = make_train_step(model, tx)
     rng = jax.random.PRNGKey(2)
     state, _ = train_step(state, tbatch, rng)

@@ -122,7 +122,13 @@ def main():
                         b, it)
                 return _block_all(out)
 
-            return jax.grad(obj)(variables["params"])
+            grads = jax.grad(obj)(variables["params"])
+            # reduce to ONE scalar inside the program: returning the
+            # full gradient tree keeps `iters` complete param-sized
+            # pytrees alive across the timing loop, which spills HBM
+            # and inflated every stage ~10x (round-5 finding)
+            return sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                       for x in jax.tree.leaves(grads))
 
         return g
 

@@ -317,13 +317,16 @@ def main():
         "input_modality", {}).get("use_depth", False)
     use_bf16 = bool(args.bf16 or cfg.get('bf16')
                     or cfg.get('fp16') is not None)
-    from nerfdet_tpu.data.dataset import rgb_stats_spec_from_config
+    from nerfdet_tpu.data.dataset import (ray_stats_spec_from_config,
+                                          rgb_stats_spec_from_config)
 
     stats_spec = rgb_stats_spec_from_config(cfg, use_depth=use_depth,
                                             bf16=use_bf16)
+    ray_spec = ray_stats_spec_from_config(cfg, bf16=use_bf16)
     dataset = build_dataset(cfg.data["train"], use_depth=use_depth,
                             n_rand=cfg.model.get("N_rand", 2048),
-                            rgb_stats_spec=stats_spec)
+                            rgb_stats_spec=stats_spec,
+                            ray_stats_spec=ray_spec)
     batch_size = args.batch_size or max(
         1, jax.local_device_count() // args.mesh_views)
     loader = BatchLoader(
