@@ -17,8 +17,11 @@ from nerfdet_tpu.train import (TrainState, build_lr_schedule,
 from nerfdet_tpu.train.optim import is_frozen_backbone_param, param_labels
 from nerfdet_tpu.train.step import make_mesh, replicate, shard_batch
 
-# single-core smoke tier: flagship-path signal in <10 min (README)
-pytestmark = pytest.mark.smoke
+# single-core smoke tier (README): every test here is smoke-marked
+# EXCEPT test_mesh_dp_matches_single_device — it alone compiles the
+# train step twice (1-device + 8-device mesh, ~5.5 min at nproc=1);
+# it stays in the default (fast) tier, and the equality it proves is
+# re-proven by tests/test_parallel.py.
 
 
 def tiny_model(**kw):
@@ -70,6 +73,7 @@ def stack_scenes(scenes):
     return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}
 
 
+@pytest.mark.smoke
 def test_train_step_runs_and_updates(model_and_state):
     model, tx, state = model_and_state
     step = make_train_step(model, tx, depth_supervise=True, donate=False)
@@ -98,6 +102,7 @@ def test_train_step_runs_and_updates(model_and_state):
     assert some_trainable_changed
 
 
+@pytest.mark.smoke
 def test_loss_descends(model_and_state):
     model, tx, state = model_and_state
     step = make_train_step(model, tx, depth_supervise=True, donate=False)
@@ -125,6 +130,7 @@ def test_mesh_dp_matches_single_device(model_and_state):
                        rtol=2e-4), (m_local["loss"], m_mesh["loss"])
 
 
+@pytest.mark.smoke
 def test_lr_schedule_steps():
     sched = build_lr_schedule(2e-4, steps_per_epoch=100,
                               decay_epochs=(8, 11))
@@ -134,6 +140,7 @@ def test_lr_schedule_steps():
     assert np.isclose(float(sched(1100)), 2e-6)
 
 
+@pytest.mark.smoke
 def test_param_labels_partition(model_and_state):
     model, tx, state = model_and_state
     labels = param_labels(state.params)
