@@ -74,7 +74,7 @@ def pack_bilinear(image):
         axis=-1)
 
 
-def grid_sample_2d_packed(packed, px, py):
+def grid_sample_2d_packed(packed, px, py, f32_taps: bool = False):
     """Bilinear sample from a :func:`pack_bilinear`-packed image.
 
     Numerically identical to ``grid_sample_2d(image, px, py, "zeros")``:
@@ -82,6 +82,13 @@ def grid_sample_2d_packed(packed, px, py):
     weights ``max(0, 1 - |p - start - k|)`` reproduce the interior
     bilinear weights, the clamp-shifted edge windows, and the
     zeros-padding cutoff in one expression.
+
+    ``f32_taps``: compute the 4-tap weighted sum in f32 and round-trip
+    the result through the input dtype. Only the renderer's IN-SCAN rgb
+    gather sets this — it pins the reduction order so the host twin
+    (`ops/render.host_ray_rgb_stats`) matches bitwise; everywhere else
+    the native-dtype einsum is ~32% faster on the bf16 NVS path
+    (PERF.md round 5) and has no host twin to match.
     """
     h, w, c4 = packed.shape
     c = c4 // 4
@@ -101,8 +108,10 @@ def grid_sample_2d_packed(packed, px, py):
     # for f32 inputs, and for bf16 maps it pins the 4-term reduction
     # order so the HOST twin (ops/render.host_ray_rgb_stats) can
     # reproduce it exactly; the weighted sum is VPU work either way
-    return jnp.einsum("...kc,...k->...c", rows.astype(jnp.float32),
-                      wgt.astype(jnp.float32)).astype(rows.dtype)
+    if f32_taps:
+        return jnp.einsum("...kc,...k->...c", rows.astype(jnp.float32),
+                          wgt.astype(jnp.float32)).astype(rows.dtype)
+    return jnp.einsum("...kc,...k->...c", rows, wgt.astype(rows.dtype))
 
 
 def grid_sample_3d(volume, px, py, pz, padding: str = "border"):

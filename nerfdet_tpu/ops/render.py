@@ -218,9 +218,13 @@ def streaming_sample_mean_var(pts, images, intrinsics, poses, img_hw,
                 img_v, px_v, py_v, m_v = view
             # packed bilinear: ONE gather row per (point, view) instead
             # of four — row count bounds the gather and its backward
-            # scatter (PERF.md, "packed bilinear gather")
+            # scatter (PERF.md, "packed bilinear gather"). f32 taps on
+            # the rgb stream ONLY: they pin the reduction order the
+            # host twin reproduces (host_ray_rgb_stats), and this
+            # branch doesn't run at all when the host ships the stream
             f = grid_sample_2d_packed(pack_bilinear(img_v),
-                                      px_v * sx, py_v * sy)
+                                      px_v * sx, py_v * sy,
+                                      f32_taps=True)
             if featmaps is not None:
                 ff = grid_sample_2d_packed(pack_bilinear(fm_v),
                                            px_v * fx_s, py_v * fy_s)

@@ -83,8 +83,25 @@ def test_streaming_equivalence(dtype):
         jnp.asarray(pts), tuple(jnp.asarray(x) for x in host))
 
     np.testing.assert_array_equal(np.asarray(m_pre), np.asarray(m_dev))
-    np.testing.assert_allclose(np.asarray(gf_pre), np.asarray(gf_dev),
+    gf_pre = np.asarray(gf_pre, np.float32)
+    gf_dev = np.asarray(gf_dev, np.float32)
+    cf = featmaps.shape[-1]
+    # channel layout: [rgb mean (3), feat mean (cf), exp(-var) rgb (3),
+    # exp(-var) feat (cf)]. The rgb channels are EXACT (the in-scan rgb
+    # taps are f32-pinned to the host law); the featmap channels agree
+    # to bf16 rounding only — XLA's bf16 tap-sum accumulation order is
+    # compilation-context dependent (measured ~1.5e-3; pinning it f32
+    # costs 32% on the NVS path, PERF.md round 5), and those channels
+    # are computed by the DEVICE in both paths anyway.
+    rgb_idx = np.r_[0:3, 3 + cf:6 + cf]
+    feat_idx = np.r_[3:3 + cf, 6 + cf:6 + 2 * cf]
+    np.testing.assert_allclose(gf_pre[..., rgb_idx],
+                               gf_dev[..., rgb_idx],
                                rtol=2e-6, atol=2e-6)
+    feat_tol = 2e-6 if dtype == jnp.float32 else 4e-3
+    np.testing.assert_allclose(gf_pre[..., feat_idx],
+                               gf_dev[..., feat_idx],
+                               rtol=feat_tol, atol=feat_tol)
 
 
 def test_full_model_paths_agree():
